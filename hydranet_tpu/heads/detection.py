@@ -1,0 +1,253 @@
+"""Anchor-based detection head (TPU-native equivalent of
+/root/reference/model/head_detect/detection.py).
+
+EfficientDet-style shared towers with per-level BN
+(detection.py:11-83), multiscale anchors (detection.py:86-170), and — unlike
+the reference, which runs box decode + NMS on host per image
+(detection_loss.py:70-108) — a fixed-shape, fully on-device post-processing
+pipeline (top-k preselect -> box decode -> clip -> class-aware IoU-matrix
+greedy NMS) that compiles into the same XLA program as the forward pass.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hydranet_tpu.ops.common import SeparableConvBlock, TorchBatchNorm, swish
+
+
+def generate_anchors(
+    image_hw: Tuple[int, int],
+    anchor_scale: float,
+    pyramid_levels: Sequence[int],
+    scales: Sequence[float],
+    ratios: Sequence[Tuple[float, float]],
+) -> np.ndarray:
+    """Multiscale anchor boxes [A, 4] in (y1, x1, y2, x2) — the exact grid of
+    reference detection.py:108-170 (np.meshgrid row-major walk, scales-major
+    then ratios within each level). Computed once at trace time; becomes an
+    XLA constant."""
+    h, w = image_hw
+    boxes_all = []
+    for level in pyramid_levels:
+        stride = 2 ** level
+        if h % stride != 0 or w % stride != 0:
+            raise ValueError("input size must be divided by the stride.")
+        boxes_level = []
+        for scale, ratio in itertools.product(scales, ratios):
+            base = anchor_scale * stride * scale
+            ax2 = base * ratio[0] / 2.0
+            ay2 = base * ratio[1] / 2.0
+            x = np.arange(stride / 2, w, stride)
+            y = np.arange(stride / 2, h, stride)
+            xv, yv = np.meshgrid(x, y)
+            xv, yv = xv.reshape(-1), yv.reshape(-1)
+            boxes = np.vstack((yv - ay2, xv - ax2, yv + ay2, xv + ax2))
+            boxes_level.append(np.expand_dims(boxes.T, axis=1))
+        boxes_level = np.concatenate(boxes_level, axis=1)
+        boxes_all.append(boxes_level.reshape([-1, 4]))
+    return np.vstack(boxes_all).astype(np.float32)
+
+
+class _Tower(nn.Module):
+    """Shared separable convs across levels with per-level BN, then a header
+    conv — reference Regressor/Classifier (detection.py:11-83)."""
+
+    in_channels: int
+    out_per_anchor: int  # 4 for boxes, num_classes for logits
+    num_anchors: int
+    num_layers: int
+    pyramid_levels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        convs = [SeparableConvBlock(self.in_channels, norm=False,
+                                    activation=False, dtype=self.dtype,
+                                    name=f"conv_{i}")
+                 for i in range(self.num_layers)]
+        header = SeparableConvBlock(self.num_anchors * self.out_per_anchor,
+                                    norm=False, activation=False,
+                                    dtype=self.dtype, name="header")
+        outs = []
+        for lvl, feat in enumerate(feats):
+            for i in range(self.num_layers):
+                feat = convs[i](feat, train=train)
+                feat = TorchBatchNorm(momentum=0.01, epsilon=1e-3,
+                                      dtype=self.dtype,
+                                      name=f"bn_{lvl}_{i}")(feat, train=train)
+                feat = swish(feat)
+            feat = header(feat, train=train)
+            b = feat.shape[0]
+            # NHWC is already the reference's permute(0,2,3,1) layout
+            # (detection.py:37-38) — flatten directly.
+            outs.append(feat.reshape(b, -1, self.out_per_anchor))
+        return jnp.concatenate(outs, axis=1)
+
+
+class DetectionHead(nn.Module):
+    """Regressor + classifier + anchors — detection.py:173-215."""
+
+    num_classes: int
+    in_channels: int
+    aspect_ratios: Tuple[Tuple[float, float], ...]
+    scales: Tuple[float, ...]
+    box_class_repeats: int = 3
+    pyramid_levels: int = 5
+    anchor_scale: float = 2.0
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def num_anchors(self):
+        return len(self.aspect_ratios) * len(self.scales)
+
+    @nn.compact
+    def __call__(self, image_hw: Tuple[int, int],
+                 fused_feats: Sequence[jnp.ndarray], train: bool = False):
+        regression = _Tower(
+            in_channels=self.in_channels, out_per_anchor=4,
+            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
+            pyramid_levels=self.pyramid_levels, dtype=self.dtype,
+            name="regressor")(fused_feats, train=train)
+        classification = _Tower(
+            in_channels=self.in_channels, out_per_anchor=self.num_classes,
+            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
+            pyramid_levels=self.pyramid_levels, dtype=self.dtype,
+            name="classifier")(fused_feats, train=train)
+        classification = jax.nn.sigmoid(classification)
+        anchors = jnp.asarray(generate_anchors(
+            image_hw, self.anchor_scale,
+            [lvl + 3 for lvl in range(self.pyramid_levels)],
+            self.scales, self.aspect_ratios))[None]
+        return anchors, regression, classification
+
+
+def bbox_transform(anchors: jnp.ndarray, regression: jnp.ndarray) -> jnp.ndarray:
+    """Decode (dy, dx, dh, dw) vs (y1, x1, y2, x2) anchors into
+    (x1, y1, x2, y2) boxes — reference detection_loss.py:7-35."""
+    yca = (anchors[..., 0] + anchors[..., 2]) / 2
+    xca = (anchors[..., 1] + anchors[..., 3]) / 2
+    ha = anchors[..., 2] - anchors[..., 0]
+    wa = anchors[..., 3] - anchors[..., 1]
+    w = jnp.exp(regression[..., 3]) * wa
+    h = jnp.exp(regression[..., 2]) * ha
+    yc = regression[..., 0] * ha + yca
+    xc = regression[..., 1] * wa + xca
+    return jnp.stack([xc - w / 2., yc - h / 2., xc + w / 2., yc + h / 2.],
+                     axis=-1)
+
+
+def clip_boxes(boxes: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Clamp x1,y1 >= 0 and x2 <= W-1, y2 <= H-1 — detection_loss.py:38-52."""
+    h, w = image_hw
+    return jnp.stack([
+        jnp.maximum(boxes[..., 0], 0.0),
+        jnp.maximum(boxes[..., 1], 0.0),
+        jnp.minimum(boxes[..., 2], w - 1.0),
+        jnp.minimum(boxes[..., 3], h - 1.0),
+    ], axis=-1)
+
+
+class Detections(NamedTuple):
+    """Fixed-shape per-image detection results (padded; `valid` marks rows)."""
+
+    boxes: jnp.ndarray      # [..., max_det, 4] (x1, y1, x2, y2)
+    scores: jnp.ndarray     # [..., max_det]
+    classes: jnp.ndarray    # [..., max_det] int32
+    valid: jnp.ndarray      # [..., max_det] bool
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of [K, 4] (x1, y1, x2, y2) boxes, torchvision convention
+    (no +1)."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+           jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    x1 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y1 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x2 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y2 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS over score-descending-sorted boxes via one KxK IoU matrix
+    and a masked suppression scan. Returns the keep mask (same order).
+
+    Exactly reproduces torchvision greedy semantics while staying fixed-shape
+    on device: invalid rows never suppress anyone and are never kept.
+    """
+    k = boxes.shape[0]
+    iou = _iou_matrix(boxes)
+    over = (iou > iou_threshold) & valid[None, :] & valid[:, None]
+    # row i suppresses j only if j comes later (lower score).
+    later = jnp.triu(jnp.ones((k, k), bool), 1)
+    over = over & later
+
+    def body(i, state):
+        keep, suppressed = state
+        is_kept = valid[i] & ~suppressed[i]
+        keep = keep.at[i].set(is_kept)
+        suppressed = suppressed | (is_kept & over[i])
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool)))
+    return keep
+
+
+def postprocess(
+    anchors: jnp.ndarray,        # [1, A, 4]
+    regression: jnp.ndarray,     # [B, A, 4]
+    classification: jnp.ndarray, # [B, A, C] (sigmoid scores)
+    image_hw: Tuple[int, int],
+    score_threshold: float = 0.6,
+    iou_threshold: float = 0.3,
+    pre_nms_top_k: int = 1000,
+    max_detections: int = 100,
+) -> Detections:
+    """On-device equivalent of reference postprocess (detection_loss.py:70-108):
+    per-anchor max-class score -> threshold -> per-image class-aware NMS.
+
+    The reference gathers anchors over threshold dynamically on host; here we
+    take the top `pre_nms_top_k` anchors by score (with the threshold applied
+    as a validity mask), run fixed-shape NMS, and emit `max_detections` padded
+    rows. Identical results whenever <= pre_nms_top_k anchors pass the
+    threshold (always, in practice, for sane thresholds).
+    """
+    boxes_all = clip_boxes(bbox_transform(anchors, regression), image_hw)
+
+    def per_image(boxes, cls):
+        scores = jnp.max(cls, axis=-1)
+        classes = jnp.argmax(cls, axis=-1).astype(jnp.int32)
+        top_scores, idx = jax.lax.top_k(scores, pre_nms_top_k)
+        top_boxes = boxes[idx]
+        top_classes = classes[idx]
+        valid = top_scores > score_threshold
+
+        # batched_nms class-offset trick (torchvision): shift each class into
+        # a disjoint coordinate range so one NMS pass is class-aware.
+        max_coord = jnp.max(jnp.where(valid[:, None], top_boxes, 0.0))
+        offsets = top_classes.astype(top_boxes.dtype) * (max_coord + 1.0)
+        keep = greedy_nms_mask(top_boxes + offsets[:, None], top_scores,
+                               valid, iou_threshold)
+
+        # compact kept rows to the front, preserving score order
+        order = jnp.argsort(~keep, stable=True)[:max_detections]
+        return Detections(
+            boxes=top_boxes[order],
+            scores=top_scores[order],
+            classes=top_classes[order],
+            valid=keep[order],
+        )
+
+    return jax.vmap(per_image)(boxes_all, classification)

@@ -1,0 +1,96 @@
+"""Segmentation head + losses: golden parity vs reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import tests.ref_compat as rc
+from hydranet_tpu.heads.segmentation import SegmentHead
+from hydranet_tpu.heads.segmentation_loss import cross_entropy_loss, lovasz_softmax
+from hydranet_tpu.utils.torch_import import import_state_dict
+
+
+def _nhwc(t):
+    return np.transpose(t, (0, 2, 3, 1))
+
+
+def test_seg_head_parity():
+    rc.install()
+    from head_seg.segmentation import SegmentHeader as RefSeg
+
+    num_ch_enc = [8, 16, 16, 16]
+    num_ch_dec = [8, 12, 16, 24]
+    ref = RefSeg(num_ch_enc=num_ch_enc, num_ch_dec=num_ch_dec,
+                 num_output_channels=5).eval()
+
+    feats = [np.random.randn(1, c, s, s).astype(np.float32)
+             for c, s in zip(num_ch_enc, [32, 16, 8, 4])]
+    with torch.no_grad():
+        want = ref([torch.from_numpy(f) for f in feats]).numpy()
+
+    model = SegmentHead(num_ch_enc=tuple(num_ch_enc),
+                        num_ch_dec=tuple(num_ch_dec), num_output_channels=5)
+    inputs = [jnp.asarray(_nhwc(f)) for f in feats]
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+    variables = import_state_dict(variables, ref.state_dict())
+    got = model.apply(variables, inputs)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_top_k,use_focal", [(False, False), (True, False),
+                                                 (False, True)])
+def test_cross_entropy_loss_parity(use_top_k, use_focal):
+    rc.install()
+
+    b, c, h, w = 2, 5, 16, 16
+    logits = np.random.randn(b, c, h, w).astype(np.float32)
+    target = np.random.randint(0, c, size=(b, h, w))
+    weights = np.array([0.1, 0.5, 1.0, 5.0, 5.0], dtype=np.float32)
+
+    # Reference CrossEntropyLoss hard-codes .cuda() on the focal path
+    # (segmentation_loss.py:35); replicate its math directly in torch.
+    lt = torch.from_numpy(logits)
+    tt = torch.from_numpy(target).long()
+    wt = torch.from_numpy(weights)
+    if use_focal:
+        eps = 1e-8
+        p = F.softmax(lt, dim=1) + eps
+        one_hot = torch.zeros_like(lt).scatter_(1, tt.unsqueeze(1), 1.0) + eps
+        fw = torch.pow(1.0 - p, 2.0)
+        ws = wt.unsqueeze(0).unsqueeze(-1).unsqueeze(-1)
+        focal = -1.0 * fw * torch.log(p) * ws
+        want = torch.sum(one_hot * focal, dim=1).view(b, -1).mean().item()
+    else:
+        loss = F.cross_entropy(lt, tt, ignore_index=255, reduction="none",
+                               weight=wt).view(b, -1)
+        if use_top_k:
+            k = int(0.3 * loss.shape[1])
+            loss, _ = torch.sort(loss, dim=1, descending=True)
+            loss = loss[:, :k]
+        want = loss.mean().item()
+
+    got = cross_entropy_loss(
+        jnp.asarray(_nhwc(logits)), jnp.asarray(target), weights,
+        use_top_k=use_top_k, top_k_ratio=0.3, use_focal=use_focal)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_lovasz_softmax_parity():
+    rc.install()
+    from head_seg.loss_lovasz import lovasz_softmax as ref_lovasz
+
+    b, c, h, w = 2, 5, 16, 16
+    logits = np.random.randn(b, c, h, w).astype(np.float32)
+    target = np.random.randint(0, c, size=(b, h, w))
+    target[0, :4, :4] = 255  # exercise the ignore path
+
+    lt = torch.from_numpy(logits)
+    want = ref_lovasz(F.softmax(lt, dim=1), torch.from_numpy(target).long(),
+                      ignore=255).item()
+    probs = jax.nn.softmax(jnp.asarray(_nhwc(logits)), axis=-1)
+    got = lovasz_softmax(probs, jnp.asarray(target), ignore=255)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
