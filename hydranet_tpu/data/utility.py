@@ -1,0 +1,90 @@
+"""Data utilities (TPU-native equivalent of
+/root/reference/model/dataset/utility.py): image IO, normalization, and the
+dataset path-derivation convention."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def imread(img_path: str) -> np.ndarray:
+    """Read a BGR image, raising on missing/corrupt files —
+    utility.py:138-154."""
+    img_path = os.path.normpath(os.path.abspath(os.path.expanduser(img_path)))
+    if not os.path.exists(img_path):
+        raise FileNotFoundError(img_path)
+    img = cv2.imread(img_path)
+    if img is None:
+        raise IOError(img_path)
+    return img
+
+
+def get_img_whc(img: np.ndarray) -> Dict[str, int]:
+    """Image {width, height, channel} — utility.py:157-173."""
+    if img.ndim == 2:
+        h, w = img.shape
+        c = 1
+    elif img.ndim == 3:
+        h, w, c = img.shape
+    else:
+        raise NotImplementedError()
+    return dict(width=w, height=h, channel=c)
+
+
+def bgr2rgb(img: np.ndarray) -> np.ndarray:
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def resize_by_wh(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """INTER_AREA resize — utility.py:31-46."""
+    return cv2.resize(img, (width, height), interpolation=cv2.INTER_AREA)
+
+
+def imagenet_normalize(img: np.ndarray) -> np.ndarray:
+    """RGB uint8 -> normalized float32 — utility.py:213-227."""
+    img = img.astype(np.float32) / 255.0
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def imagenet_denormalize(img: np.ndarray) -> np.ndarray:
+    """Normalized float (H, W, 3) RGB -> uint8 BGR — utility.py:229-233."""
+    img = ((img * IMAGENET_STD + IMAGENET_MEAN) * 255.0).clip(0, 255)
+    return cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2BGR)
+
+
+def load_json(path: str) -> Dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_img_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip() for line in f]
+
+
+def create_subset(data_list: str, with_lane=False, with_seg=False,
+                  with_detect=False) -> List[Dict[str, str]]:
+    """Path-derivation convention: images -> labels_lane(.json) /
+    labels_segmentation(.png) / labels_object(.txt) — utility.py:235-257."""
+    pairs = []
+    for image_path in load_img_list(data_list):
+        pair = dict(image_path=image_path)
+        if with_lane:
+            pair["annot_path_lane"] = image_path.replace(
+                ".jpg", ".json").replace("images", "labels_lane")
+        if with_seg:
+            pair["annot_path_seg"] = image_path.replace(
+                ".jpg", ".png").replace("images", "labels_segmentation")
+        if with_detect:
+            pair["annot_path_detect"] = image_path.replace(
+                ".jpg", ".txt").replace("images", "labels_object")
+        pairs.append(pair)
+    return pairs
