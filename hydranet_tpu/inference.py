@@ -1,0 +1,205 @@
+"""End-to-end inference pipeline (TPU-native equivalent of
+/root/reference/model/demo.py).
+
+The reference's per-frame path is: host preprocess (cv2) -> CUDA forward ->
+host decode loops (demo.py:188-244). Here preprocess (resize + imagenet
+normalize), the 3-head forward, and ALL post-processing (box decode +
+class-aware NMS, seg argmax, lane decode + lane NMS) compile into ONE XLA
+program over a fixed batch shape — zero per-frame host round trips; the host
+only converts compact fixed-shape results for visualization.
+
+Also provides the deployment-artifact export: `jax.export` serializes the
+compiled pipeline to portable StableHLO bytes — the TPU-native replacement
+for the reference's ONNX boundary (demo.py:134-148).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydranet_tpu.config import Config
+from hydranet_tpu.heads import detection as det_ops
+from hydranet_tpu.heads import lane_codec as lane_ops
+from hydranet_tpu.models.hydranet import HydraNet
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# fixed demo visualization palette — demo.py:88-93
+SEG_CLASS_COLORS = {0: (0, 0, 0), 1: (128, 0, 128), 2: (255, 255, 255),
+                    3: (0, 255, 255), 4: (0, 255, 0)}
+
+
+def preprocess_images(images: jnp.ndarray, target_hw: Tuple[int, int],
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 RGB [B, H0, W0, 3] -> normalized [B, H, W, 3] on device
+    (bilinear resize with half-pixel centers, matching cv2 INTER_LINEAR used
+    by demo.py:192; then the imagenet normalize of demo.py:26-40)."""
+    b, h0, w0, _ = images.shape
+    x = images.astype(dtype) / 255.0
+    if (h0, w0) != tuple(target_hw):
+        x = jax.image.resize(x, (b, target_hw[0], target_hw[1], 3),
+                             method="linear")
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x - mean) / std
+
+
+class InferencePipeline:
+    """Compiled batch pipeline: raw frames in, decoded results out."""
+
+    def __init__(self, cfg: Config, variables: Dict[str, Any],
+                 batch_size: int = 1,
+                 input_hw: Optional[Tuple[int, int]] = None,
+                 compute_dtype=jnp.bfloat16,
+                 det_conf_thres: float = 0.4, det_iou_thres: float = 0.3,
+                 lane_conf_thres: float = 0.9, lane_nms_thres: float = 80.0):
+        self.cfg = cfg
+        self.variables = variables
+        self.batch_size = batch_size
+        self.net_hw = cfg.input_hw
+        self.input_hw = input_hw or self.net_hw
+        self.compute_dtype = compute_dtype
+        self.model = HydraNet(cfg=cfg, dtype=compute_dtype)
+
+        h, w = self.net_hw
+        fh, fw = cfg.lane_feat_hw
+        ppl = cfg.lane_points_per_line
+        cfg_d, cfg_l = cfg.detection, cfg.lane
+
+        def run(variables, frames):
+            x = preprocess_images(frames, self.net_hw, dtype=compute_dtype)
+            out = self.model.apply(variables, x, train=False)
+            results: Dict[str, Any] = {}
+            if cfg.train.train_seg:
+                results["seg"] = jnp.argmax(out["seg"], axis=-1)
+            if cfg.train.train_detect:
+                d = out["detection"]
+                results["detections"] = det_ops.postprocess(
+                    d["anchors"].astype(jnp.float32),
+                    d["regression"].astype(jnp.float32),
+                    d["classification"].astype(jnp.float32),
+                    self.net_hw,
+                    score_threshold=det_conf_thres,
+                    iou_threshold=det_iou_thres,
+                    pre_nms_top_k=cfg_d.pre_nms_top_k,
+                    max_detections=cfg_d.max_detections)
+            if cfg.train.train_lane:
+                def one(cls_i, loc_i):
+                    lanes = lane_ops.decode_lanes(
+                        jax.nn.softmax(cls_i.astype(jnp.float32), axis=-1),
+                        loc_i.astype(jnp.float32),
+                        feature_height=fh, feature_width=fw,
+                        points_per_line=ppl, interval=h / ppl,
+                        stride=cfg_l.anchor_stride,
+                        input_width=w, input_height=h,
+                        scale_invariance=cfg_l.scale_invariance,
+                        exist_threshold=lane_conf_thres)
+                    return lane_ops.lane_nms(
+                        lanes, thresh=lane_nms_thres,
+                        top_k=cfg_l.pre_nms_top_k, max_lanes=cfg_l.max_lanes)
+                results["lanes"] = jax.vmap(one)(out["lane"]["predict_cls"],
+                                                 out["lane"]["predict_loc"])
+            return results
+
+        self._run = jax.jit(run)
+
+    def __call__(self, frames: np.ndarray) -> Dict[str, Any]:
+        """frames: uint8 RGB [B, H0, W0, 3] (B == batch_size)."""
+        return self._run(self.variables, jnp.asarray(frames))
+
+    # ------------------------------------------------------------- host visual
+
+    def visualize(self, results: Dict[str, Any], frames_bgr: List[np.ndarray]
+                  ) -> List[np.ndarray]:
+        """Overlay seg/det/lane results on original-size BGR frames —
+        equivalent of the decode+draw stages of demo.py:207-244."""
+        import cv2
+
+        cfg = self.cfg
+        h, w = self.net_hw
+        out_frames = []
+        n = len(frames_bgr)
+        seg = np.asarray(results["seg"]) if "seg" in results else None
+        dets = results.get("detections")
+        lanes = results.get("lanes")
+        obj_list = list(cfg.detection.class_list[1:])
+
+        for bi in range(n):
+            im = frames_bgr[bi].copy()
+            oh, ow = im.shape[:2]
+
+            if lanes is not None:
+                one = jax.tree_util.tree_map(lambda a: a[bi], lanes)
+                lines = lane_ops.lanes_to_points(
+                    one, input_height=h, interval=h / cfg.lane_points_per_line,
+                    scale_x=ow / w, scale_y=oh / h)
+                for line in lines:
+                    pts = [(int(p["x"]), int(p["y"])) for p in line["points"]]
+                    for p0, p1 in zip(pts[:-1], pts[1:]):
+                        cv2.line(im, p0, p1, (255, 255, 0), 15)
+                    if pts:
+                        cv2.putText(im, "Lane: %.2f" % line["score"],
+                                    (max(pts[0][0], 30), pts[0][1] - 10),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 2.0,
+                                    (255, 255, 0), 7)
+
+            if seg is not None:
+                vis = np.zeros((seg.shape[1], seg.shape[2], 3), np.uint8)
+                for cid, color in SEG_CLASS_COLORS.items():
+                    if cid < cfg.segment.num_classes:
+                        vis[seg[bi] == cid] = color
+                vis = cv2.resize(vis, (ow, oh),
+                                 interpolation=cv2.INTER_NEAREST)
+                im = cv2.addWeighted(im, 0.8, vis, 0.5, 0.0)
+
+            if dets is not None:
+                valid = np.asarray(dets.valid[bi])
+                boxes = np.asarray(dets.boxes[bi])
+                scores = np.asarray(dets.scores[bi])
+                classes = np.asarray(dets.classes[bi])
+                for k in np.where(valid)[0]:
+                    x1, y1, x2, y2 = boxes[k]
+                    x1, x2 = x1 / w * ow, x2 / w * ow
+                    y1, y2 = y1 / h * oh, y2 / h * oh
+                    cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)),
+                                  (0, 255, 0), 2)
+                    label = obj_list[int(classes[k])] if obj_list else str(
+                        int(classes[k]))
+                    cv2.putText(im, f"{label}{scores[k]:.0%}",
+                                (int(x1), int(y1) - 3),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 0, 0), 1)
+            out_frames.append(im)
+        return out_frames
+
+    # ------------------------------------------------------------- export
+
+    def export_stablehlo(self, path: str) -> None:
+        """Serialize the full compiled pipeline to portable StableHLO — the
+        deployment artifact replacing the reference's hydraNET.onnx
+        (demo.py:134-148). Loadable from C++ via PJRT or back into JAX via
+        jax.export.deserialize."""
+        from jax import export as jax_export
+
+        h0, w0 = self.input_hw
+        spec = jax.ShapeDtypeStruct((self.batch_size, h0, w0, 3), jnp.uint8)
+        var_specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype),
+            self.variables)
+        exported = jax_export.export(self._run)(var_specs, spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
+
+def load_stablehlo(path: str):
+    """Deserialize an exported pipeline; returns a callable."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call
