@@ -1,11 +1,16 @@
 """Benchmark: full 3-head HydraNet inference pipeline on one TPU chip.
 
-Protocol (BASELINE.md): warmup + timed iterations (the reference's C++ demo
-uses 10 warmup + 20 timed, Demo.cpp:27-28). We run the flagship big-backbone
-config end to end — on-device preprocess (resize from demo resolution +
-normalize), 3-head forward in bf16, and all post-processing (box decode +
-class-aware NMS, seg argmax, lane decode + lane NMS) — in ONE XLA program,
-batched. Reports frames/sec/chip and p50 per-batch latency.
+Protocol: warmup then timed iterations (the reference's C++ demo uses
+10 warmup + 20 timed, Demo.cpp:27-28). We run the flagship big-backbone
+config end to end — on-device preprocess (resize from 1080p demo resolution
++ imagenet normalize), 3-head forward in bf16, and ALL post-processing (box
+decode + class-aware NMS, seg argmax, lane decode + lane NMS) — as ONE XLA
+program per batch.
+
+Timing is pipelined (K batches in flight, one device sync at the end), the
+realistic serving pattern; per-batch sync would mostly measure the remote-
+tunnel round trip of this harness (~29 ms), not the chip. p50 per-batch
+latency is also reported from synced runs.
 
 Prints one JSON line; vs_baseline is measured against the driver-set
 north-star target of 500 frames/sec/chip (BASELINE.json).
@@ -15,14 +20,13 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "10"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 DEMO_HW = (1080, 1920)  # demo video resolution (reference demo.py:160)
 TARGET_FPS = 500.0
 
@@ -50,29 +54,39 @@ def main():
     frames = rng.randint(0, 255, size=(BATCH, *DEMO_HW, 3), dtype=np.uint8)
     frames_dev = jax.device_put(jnp.asarray(frames))
 
-    def run_once():
-        res = pipe._run(pipe.variables, frames_dev)
-        jax.block_until_ready(res)
-        return res
+    # tiny digest forces completion of everything it depends on
+    digest = jax.jit(lambda r: jnp.sum(r["detections"].scores)
+                     + jnp.sum(r["lanes"].prob)
+                     + jnp.sum(r["seg"]).astype(jnp.float32))
 
     for _ in range(WARMUP):
-        run_once()
+        r = pipe._run(pipe.variables, frames_dev)
+        np.asarray(digest(r))
 
-    times = []
+    # throughput: K batches in flight, one sync
+    t0 = time.perf_counter()
+    r = None
     for _ in range(ITERS):
-        t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
+        r = pipe._run(pipe.variables, frames_dev)
+    np.asarray(digest(r))
+    dt = (time.perf_counter() - t0) / ITERS
+    fps = BATCH / dt
 
-    times = np.asarray(times)
-    fps = BATCH / np.median(times)
-    p50_ms = float(np.median(times) / BATCH * 1000.0)
+    # latency: synced per batch (includes one harness round trip)
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r = pipe._run(pipe.variables, frames_dev)
+        np.asarray(digest(r))
+        lat.append(time.perf_counter() - t0)
+    p50_batch_ms = float(np.median(lat) * 1000.0)
 
     print(json.dumps({
         "metric": ("frames/sec/chip, full 3-head pipeline e2e "
-                   f"(1080p in, 640x640 net, bs{BATCH}, bf16, "
-                   "preprocess+forward+NMS+lane decode on device); "
-                   f"p50 {p50_ms:.2f} ms/frame"),
+                   f"(1080p in, 640x640 net, bs{BATCH}, bf16, preprocess+"
+                   "forward+det NMS+seg argmax+lane decode/NMS on device); "
+                   f"p50 batch latency {p50_batch_ms:.1f} ms "
+                   f"({p50_batch_ms / BATCH:.2f} ms/frame)"),
         "value": round(float(fps), 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(float(fps) / TARGET_FPS, 3),

@@ -2,12 +2,22 @@
 /root/reference/model/head_seg/segmentation.py).
 
 monodepth2-style decoder: 5 up-stages of (ConvBlock -> x2 nearest upsample ->
-skip concat -> ConvBlock), final reflection-padded 3x3 conv producing logits at
-full input resolution (segmentation.py:51-105). Inputs are
+skip concat -> ConvBlock), final reflection-padded 3x3 conv producing logits
+at full input resolution (segmentation.py:51-105). Inputs are
 [backbone_stage0, P3, P4, P5] (model.py:166-172). NHWC.
 
-Module names mirror the reference's flat nn.ModuleList indices
-(decoder_0..decoder_8) so checkpoint import is 1:1.
+TPU-first execution: the reference composition materializes a 2x nearest-
+upsampled tensor + a reflection-padded copy before every second conv — at
+640^2 that is ~1.7 GB of HBM traffic per batch-16 step and dominated the
+whole head on v5e. Here every `upsample -> [concat skip] -> reflect conv`
+stage is computed EXACTLY (see ops/fused_upsample_conv.py for the identity)
+as a phase-collapsed 2x2 conv at the low resolution plus a plain reflect conv
+of the skip branch, summed: 4/9 of the upsample-branch MACs and no upsampled
+intermediates.
+
+Module/param names mirror the reference's flat nn.ModuleList indices
+(decoder_0..decoder_8, each with conv/conv/{kernel,bias}) so checkpoint
+import is 1:1.
 """
 
 from __future__ import annotations
@@ -18,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hydranet_tpu.ops.common import upsample_nearest
+from hydranet_tpu.ops.fused_upsample_conv import upsample2x_reflect_conv3x3
 
 
 class Conv3x3(nn.Module):
@@ -45,6 +55,73 @@ class ConvBlock(nn.Module):
         return nn.elu(Conv3x3(self.features, dtype=self.dtype, name="conv")(x))
 
 
+class _FusedUpConv3x3(nn.Module):
+    """conv3x3(reflect_pad(concat(up2(x_low), skip))) computed without the
+    upsampled intermediate. Param names match nn.Conv ('kernel'/'bias') so
+    this leaf is import-compatible with the reference Conv3x3's conv."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_low, skip=None):
+        c_up = x_low.shape[-1]
+        c_in = c_up + (skip.shape[-1] if skip is not None else 0)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x_low.dtype
+        k = kernel.astype(dtype)
+        x_low = x_low.astype(dtype)
+        out = upsample2x_reflect_conv3x3(x_low, k[:, :, :c_up])
+        if skip is not None:
+            sp = jnp.pad(skip.astype(dtype),
+                         ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            out = out + jax.lax.conv_general_dilated(
+                sp, k[:, :, c_up:], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype)
+        return out + bias.astype(dtype)
+
+
+class _Conv3x3Shim(nn.Module):
+    """Name-compat wrapper so fused stage params live at <name>/conv/conv/*
+    like the reference ConvBlock -> Conv3x3 -> nn.Conv nesting."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_low, skip=None):
+        return _FusedUpConv3x3(self.features, dtype=self.dtype,
+                               name="conv")(x_low, skip)
+
+
+class _OutputConvShim(nn.Module):
+    """Name-compat wrapper: final fused conv params at <name>/conv/* like the
+    reference's bare Conv3x3 (decoder.8.conv.weight)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_low):
+        return _FusedUpConv3x3(self.features, dtype=self.dtype,
+                               name="conv")(x_low)
+
+
+class UpConvBlock(nn.Module):
+    """ELU(conv3x3(reflect_pad(cat(up2(x), skip)))) — fused."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_low, skip=None):
+        return nn.elu(_Conv3x3Shim(self.features, dtype=self.dtype,
+                                   name="conv")(x_low, skip))
+
+
 class SegmentHead(nn.Module):
     """Decoder over encoder features — segmentation.py:51-105."""
 
@@ -60,18 +137,17 @@ class SegmentHead(nn.Module):
         x = input_features[-1]
         for i in range(n):
             # decoder indices follow the reference ModuleList layout built
-            # from i = n-1 .. 0 (segmentation.py:66-82): stage i uses modules
-            # 2*i and 2*i+1 in forward order.
-            dec_i = n - 1 - i  # the reference's reversed construction index
-            ch = self.num_ch_dec[dec_i]
+            # from i = n-1 .. 0 (segmentation.py:66-82): forward stage i uses
+            # modules 2*i and 2*i+1.
+            ch = self.num_ch_dec[n - 1 - i]
             x = ConvBlock(ch, dtype=self.dtype, name=f"decoder_{2 * i}")(x)
-            parts = [upsample_nearest(x)]
-            if self.use_skips and i < n - 1:
-                parts.append(input_features[n - 2 - i])
-            x = jnp.concatenate(parts, axis=-1)
-            x = ConvBlock(ch, dtype=self.dtype, name=f"decoder_{2 * i + 1}")(x)
-        out = Conv3x3(self.num_output_channels, dtype=self.dtype,
-                      name=f"decoder_{2 * n}")(upsample_nearest(x))
+            skip = (input_features[n - 2 - i]
+                    if self.use_skips and i < n - 1 else None)
+            x = UpConvBlock(ch, dtype=self.dtype,
+                            name=f"decoder_{2 * i + 1}")(x, skip)
+        # final: conv3x3(reflect_pad(up2(x))), no activation
+        out = _OutputConvShim(self.num_output_channels, dtype=self.dtype,
+                              name=f"decoder_{2 * n}")(x)
         return out
 
     @staticmethod

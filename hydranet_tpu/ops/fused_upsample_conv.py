@@ -1,0 +1,86 @@
+"""Fused nearest-upsample(x2) + reflection-pad(1) + 3x3 conv.
+
+The seg decoder's hot tail (reference segmentation.py:84-105: every stage does
+`upsample -> [concat skip] -> reflection-padded 3x3 conv`) materializes a 2x2
+nearest-upsampled tensor (840 MB at bs16/640^2/64ch/bf16) and a padded copy
+before each conv — pure HBM traffic. On TPU this dominates the whole head.
+
+Mathematical identity used here: for y = conv3x3(reflect_pad(up2(x))),
+each output phase (di, dj) in {0,1}^2 reads x at
+
+    out[2i+di, 2j+dj] = sum_{u,v} W[u, v] * x[(2i+di+u-1)//2, (2j+dj+v-1)//2]
+
+and the floor-div collapses the 3x3 taps onto a 2x2 neighbourhood of x with
+phase-dependent summed kernels:
+
+    phase di=0 rows: {i-1: W[0], i: W[1]+W[2]}
+    phase di=1 rows: {i: W[0]+W[1], i+1: W[2]}
+
+Boundary check: reflect-pad on the upsampled grid maps pad row -1 to
+up-row 1 = x[0] and pad row 2H to up-row 2H-2 = x[H-1] — exactly EDGE
+(replicate) padding of x for the phase convs. So the whole stage becomes ONE
+3x3->(2x2 per phase) conv at the LOW resolution producing 4*C_out channels,
+followed by a depth_to_space interleave: 4/9 of the MACs and no upsampled
+intermediate. Exact to float-associativity; verified against the reference
+composition in tests/test_fused_ops.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] -> [2, 2, Cin, 4*Cout] phase-collapsed kernels.
+
+    Output channel layout: phase-major [(di, dj) = (0,0), (0,1), (1,0), (1,1)]
+    so a depth_to_space reshape interleaves correctly.
+    """
+    w = kernel
+    # row collapse: phase 0 -> taps (i-1, i) with weights (W0, W1+W2)
+    #               phase 1 -> taps (i, i+1) with weights (W0+W1, W2)
+    r0 = jnp.stack([w[0], w[1] + w[2]], axis=0)        # [2, 3, Cin, Cout]
+    r1 = jnp.stack([w[0] + w[1], w[2]], axis=0)
+    # column collapse on each
+    def cc(r):
+        c0 = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)  # [2,2,Cin,Cout]
+        c1 = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+        return c0, c1
+    k00, k01 = cc(r0)
+    k10, k11 = cc(r1)
+    return jnp.concatenate([k00, k01, k10, k11], axis=-1)  # [2,2,Cin,4*Cout]
+
+
+def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                               bias: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
+    """= conv3x3(reflect_pad(nearest_up2(x)), kernel) + bias, computed at the
+    low resolution. x: [B, H, W, Cin] NHWC; kernel: [3, 3, Cin, Cout] HWIO."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    pk = _phase_kernels(kernel)
+    # EDGE padding of x realizes the reflect-pad of the upsampled grid.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, pk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    # y: [B, H+1, W+1, 4*Cout]; phase (di,dj) at (i,j) covers output
+    # (2i+di, 2j+dj) for taps rooted at i-1 -> keep rows 0..H-1 per phase:
+    # phase 0 reads (i-1, i) -> conv output index i (padded) = rows 0..H-1
+    # phase 1 reads (i, i+1) -> conv output index i+1       = rows 1..H
+    y00 = y[:, :-1, :-1, 0 * cout:1 * cout]
+    y01 = y[:, :-1, 1:, 1 * cout:2 * cout]
+    y10 = y[:, 1:, :-1, 2 * cout:3 * cout]
+    y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
+    # interleave phases: out[2i+di, 2j+dj] = y_{di,dj}[i, j]
+    out = jnp.stack([y00, y01, y10, y11], axis=-2)  # [B,H,W,4,Cout]
+    out = out.reshape(b, h, w, 2, 2, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+    if bias is not None:
+        out = out + bias
+    return out

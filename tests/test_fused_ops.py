@@ -1,0 +1,46 @@
+"""Fused upsample+reflect-pad+conv identity vs the naive composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydranet_tpu.ops.common import upsample_nearest
+from hydranet_tpu.ops.fused_upsample_conv import upsample2x_reflect_conv3x3
+
+
+def _naive(x, kernel, bias=None):
+    up = upsample_nearest(x)
+    up = jnp.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        up, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y if bias is None else y + bias
+
+
+@pytest.mark.parametrize("shape,cout", [((2, 8, 8, 4), 6), ((1, 5, 7, 3), 2),
+                                        ((1, 16, 16, 8), 8)])
+def test_fused_matches_naive(shape, cout):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, shape[-1], cout).astype(np.float32))
+    b = jnp.asarray(rng.randn(cout).astype(np.float32))
+    want = _naive(x, k, b)
+    got = upsample2x_reflect_conv3x3(x, k, b)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gradients_match():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 6, 6, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+
+    g1 = jax.grad(lambda x, k: jnp.sum(_naive(x, k) ** 2), argnums=(0, 1))(x, k)
+    g2 = jax.grad(lambda x, k: jnp.sum(
+        upsample2x_reflect_conv3x3(x, k) ** 2), argnums=(0, 1))(x, k)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
