@@ -18,6 +18,13 @@ import pytest
 # precision is reduced. Production code keeps the default (bf16 MXU passes).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the big jitted programs (full model, train
+# step) dominate test wall-clock; cache them across runs.
+_CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_CACHE.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
