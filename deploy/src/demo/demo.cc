@@ -1,0 +1,124 @@
+// Native demo driver (TPU-native equivalent of the reference's
+// deploy/src/demo/Demo.cpp:9-141): mode 1 = repeat a single image with
+// 10 warmup + 20 timed iterations and print the average latency; mode 2 =
+// video file; mode 3 = camera.
+
+#include <chrono>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <opencv2/opencv.hpp>
+
+#include "interface/hydranet.h"
+
+namespace {
+
+double NowMs() {
+  return std::chrono::duration<double, std::milli>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+void PrintStages(const HN_Output& out) {
+  printf("  preprocess %.2f ms | run %.2f ms | postprocess %.2f ms | "
+         "%d dets, %d lanes\n",
+         out.preprocess_ms, out.run_ms, out.postprocess_ms,
+         out.num_detections, out.num_lanes);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 4) {
+    fprintf(stderr,
+            "usage: %s <artifact_dir> <mode: 1=image 2=video 3=camera> "
+            "<path-or-cam-index> [out_path]\n",
+            argv[0]);
+    return 1;
+  }
+  const std::string artifact_dir = argv[1];
+  const int mode = atoi(argv[2]);
+  const std::string source = argv[3];
+  const std::string out_path = argc > 4 ? argv[4] : "";
+
+  void* handle = nullptr;
+  if (Hydranet_Init(&handle, artifact_dir.c_str()) != 0) return 2;
+
+  auto* output = new HN_Output();
+
+  if (mode == 1) {
+    cv::Mat img = cv::imread(source);
+    if (img.empty()) {
+      fprintf(stderr, "cannot read %s\n", source.c_str());
+      return 3;
+    }
+    std::vector<unsigned char> visual((size_t)img.rows * img.cols * 3);
+    const int kWarmup = 10, kIters = 20;  // reference Demo.cpp:27-28
+    for (int i = 0; i < kWarmup; ++i) {
+      Hydranet_Detect(handle, img.data, img.rows, img.cols, output,
+                      nullptr);
+    }
+    double total = 0;
+    for (int i = 0; i < kIters; ++i) {
+      double t0 = NowMs();
+      Hydranet_Detect(handle, img.data, img.rows, img.cols, output,
+                      visual.data());
+      total += NowMs() - t0;
+      PrintStages(*output);
+    }
+    printf("average latency over %d iters: %.2f ms\n", kIters,
+           total / kIters);
+    if (!out_path.empty()) {
+      cv::Mat vis(img.rows, img.cols, CV_8UC3, visual.data());
+      cv::imwrite(out_path, vis);
+      printf("wrote %s\n", out_path.c_str());
+    }
+  } else {
+    cv::VideoCapture cap;
+    if (mode == 3) {
+      cap.open(atoi(source.c_str()));
+    } else {
+      cap.open(source);
+    }
+    if (!cap.isOpened()) {
+      fprintf(stderr, "cannot open %s\n", source.c_str());
+      return 3;
+    }
+    cv::VideoWriter writer;
+    cv::Mat frame;
+    std::vector<unsigned char> visual;
+    double total = 0;
+    int frames = 0;
+    while (cap.read(frame) && !frame.empty()) {
+      visual.resize((size_t)frame.rows * frame.cols * 3);
+      double t0 = NowMs();
+      if (Hydranet_Detect(handle, frame.data, frame.rows, frame.cols, output,
+                          visual.data()) != 0) {
+        break;
+      }
+      total += NowMs() - t0;
+      ++frames;
+      if (!out_path.empty()) {
+        if (!writer.isOpened()) {
+          writer.open(out_path, cv::VideoWriter::fourcc('m', 'p', '4', 'v'),
+                      10, frame.size());
+        }
+        cv::Mat vis(frame.rows, frame.cols, CV_8UC3, visual.data());
+        writer.write(vis);
+      }
+      if (frames % 20 == 0) {
+        printf("frame %d: running average %.2f ms\n", frames, total / frames);
+      }
+    }
+    if (frames > 0) {
+      printf("processed %d frames, average %.2f ms\n", frames,
+             total / frames);
+    }
+  }
+
+  delete output;
+  Hydranet_Uinit(handle);
+  return 0;
+}

@@ -1,0 +1,91 @@
+#include "interface/hydranet.h"
+
+#include <cstdio>
+#include <cstring>
+
+#include "model/hydranet_model.h"
+
+namespace {
+
+struct Handle {
+  std::unique_ptr<hydranet::HydranetModel> model;
+  cv::Mat last_seg;  // keeps seg_mask memory alive across the C boundary
+};
+
+}  // namespace
+
+extern "C" {
+
+int Hydranet_Init(void** handle, const char* artifact_dir) {
+  std::string error;
+  auto model = hydranet::HydranetModel::Load(artifact_dir, &error);
+  if (!model) {
+    fprintf(stderr, "[hydranet] init failed: %s\n", error.c_str());
+    return -1;
+  }
+  auto* h = new Handle();
+  h->model = std::move(model);
+  *handle = h;
+  return 0;
+}
+
+int Hydranet_Detect(void* handle, const unsigned char* bgr, int height,
+                    int width, HN_Output* output, unsigned char* visual_bgr) {
+  if (handle == nullptr || bgr == nullptr || output == nullptr) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  cv::Mat frame(height, width, CV_8UC3, const_cast<unsigned char*>(bgr));
+
+  hydranet::OutputInfo info;
+  cv::Mat visual;
+  std::string error;
+  if (!h->model->Detect(frame, &info,
+                        visual_bgr != nullptr ? &visual : nullptr, &error)) {
+    fprintf(stderr, "[hydranet] detect failed: %s\n", error.c_str());
+    return -2;
+  }
+
+  std::memset(output, 0, sizeof(HN_Output));
+  output->num_lanes = 0;
+  for (const auto& lane : info.lanes) {
+    if (output->num_lanes >= HN_MAX_LANES) break;
+    HN_Lane& dst = output->lanes[output->num_lanes++];
+    dst.score = lane.score;
+    dst.num_points = 0;
+    for (const auto& p : lane.points) {
+      if (dst.num_points >= HN_MAX_LANE_POINTS) break;
+      dst.points[dst.num_points].x = p.x;
+      dst.points[dst.num_points].y = p.y;
+      dst.num_points++;
+    }
+  }
+  output->num_detections = 0;
+  for (const auto& d : info.detections) {
+    if (output->num_detections >= HN_MAX_DETECTIONS) break;
+    HN_Detection& dst = output->detections[output->num_detections++];
+    dst.x1 = d.x1;
+    dst.y1 = d.y1;
+    dst.x2 = d.x2;
+    dst.y2 = d.y2;
+    dst.score = d.score;
+    dst.class_id = d.class_id;
+  }
+  h->last_seg = info.seg_mask;
+  output->seg_mask = h->last_seg.data;
+  output->seg_height = h->last_seg.rows;
+  output->seg_width = h->last_seg.cols;
+  output->preprocess_ms = info.preprocess_ms;
+  output->run_ms = info.run_ms;
+  output->postprocess_ms = info.postprocess_ms;
+
+  if (visual_bgr != nullptr && !visual.empty()) {
+    std::memcpy(visual_bgr, visual.data, (size_t)height * width * 3);
+  }
+  return 0;
+}
+
+int Hydranet_Uinit(void* handle) {
+  delete static_cast<Handle*>(handle);
+  return 0;
+}
+
+}  // extern "C"

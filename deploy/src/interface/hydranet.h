@@ -1,0 +1,68 @@
+// C ABI (TPU-native equivalent of the reference's
+// deploy/src/interface/Hydranet.h:83-111): opaque-handle init/detect/uninit
+// with POD result structs, consumable from any language.
+
+#ifndef HYDRANET_DEPLOY_INTERFACE_HYDRANET_H_
+#define HYDRANET_DEPLOY_INTERFACE_HYDRANET_H_
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#if defined(_WIN32)
+#define HYDRANET_API __declspec(dllexport)
+#else
+#define HYDRANET_API __attribute__((visibility("default")))
+#endif
+
+#define HN_MAX_LANE_POINTS 256
+#define HN_MAX_LANES 16
+#define HN_MAX_DETECTIONS 100
+
+typedef struct {
+  float x;
+  float y;
+} HN_Point;
+
+typedef struct {
+  float score;
+  int num_points;
+  HN_Point points[HN_MAX_LANE_POINTS];
+} HN_Lane;
+
+typedef struct {
+  float x1, y1, x2, y2;
+  float score;
+  int class_id;  // 0-based, background excluded
+} HN_Detection;
+
+typedef struct {
+  int num_lanes;
+  HN_Lane lanes[HN_MAX_LANES];
+  int num_detections;
+  HN_Detection detections[HN_MAX_DETECTIONS];
+  // Segmentation class-id mask at network resolution; row-major uint8.
+  // Points into memory owned by the handle; valid until the next Detect.
+  const unsigned char* seg_mask;
+  int seg_height;
+  int seg_width;
+  double preprocess_ms, run_ms, postprocess_ms;
+} HN_Output;
+
+// Returns 0 on success. artifact_dir: directory produced by
+// `python -m hydranet_tpu.demo --deploy` / InferencePipeline.export_artifact.
+HYDRANET_API int Hydranet_Init(void** handle, const char* artifact_dir);
+
+// bgr: 8-bit 3-channel row-major frame of size (height, width).
+// visual_bgr: optional output overlay buffer of the same size, or NULL.
+HYDRANET_API int Hydranet_Detect(void* handle, const unsigned char* bgr,
+                                 int height, int width, HN_Output* output,
+                                 unsigned char* visual_bgr);
+
+HYDRANET_API int Hydranet_Uinit(void* handle);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif  // HYDRANET_DEPLOY_INTERFACE_HYDRANET_H_

@@ -1,0 +1,281 @@
+#include "model/hydranet_model.h"
+
+#include <chrono>
+#include <fstream>
+#include <sstream>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace hydranet {
+namespace {
+
+std::string ReadFile(const std::string& path, bool* ok) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    *ok = false;
+    return "";
+  }
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  *ok = true;
+  return ss.str();
+}
+
+double NowMs() {
+  return std::chrono::duration<double, std::milli>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+// Fixed demo palette (reference demo.py:88-93).
+const cv::Vec3b kSegColors[5] = {
+    {0, 0, 0}, {128, 0, 128}, {255, 255, 255}, {255, 255, 0}, {0, 255, 0}};
+
+}  // namespace
+
+std::unique_ptr<HydranetModel> HydranetModel::Load(
+    const std::string& artifact_dir, std::string* error) {
+  bool ok = false;
+  std::string mlir = ReadFile(artifact_dir + "/module.mlir", &ok);
+  if (!ok) {
+    if (error) *error = "cannot read " + artifact_dir + "/module.mlir";
+    return nullptr;
+  }
+  std::string opts = ReadFile(artifact_dir + "/compile_options.pb", &ok);
+  if (!ok) {
+    if (error) *error = "cannot read compile_options.pb";
+    return nullptr;
+  }
+
+  auto model = std::unique_ptr<HydranetModel>(new HydranetModel());
+
+  // artifact.json via OpenCV's JSON FileStorage
+  cv::FileStorage fs(artifact_dir + "/artifact.json",
+                     cv::FileStorage::READ | cv::FileStorage::FORMAT_JSON);
+  if (!fs.isOpened()) {
+    if (error) *error = "cannot parse artifact.json";
+    return nullptr;
+  }
+  cv::FileNode input = fs["input"];
+  std::vector<int> shape;
+  input["shape"] >> shape;
+  model->in_b_ = shape[0];
+  model->in_h_ = shape[1];
+  model->in_w_ = shape[2];
+  std::vector<int> net_hw;
+  fs["net_input_hw"] >> net_hw;
+  model->net_h_ = net_hw[0];
+  model->net_w_ = net_hw[1];
+  model->seg_num_classes_ = (int)fs["seg_num_classes"];
+  model->max_detections_ = (int)fs["max_detections"];
+  cv::FileNode lane = fs["lane"];
+  model->max_lanes_ = (int)lane["max_lanes"];
+  model->points_per_line_ = (int)lane["points_per_line"];
+  model->lane_interval_ = (double)lane["interval"];
+  for (const auto& n : fs["det_class_list"]) {
+    model->class_list_.push_back((std::string)n);
+  }
+  int i = 0;
+  for (const auto& n : fs["outputs"]) {
+    std::string name = (std::string)n["name"];
+    model->output_names_.push_back(name);
+    if (name == "seg") model->idx_seg_ = i;
+    if (name == "detections/.boxes") model->idx_det_boxes_ = i;
+    if (name == "detections/.scores") model->idx_det_scores_ = i;
+    if (name == "detections/.classes") model->idx_det_classes_ = i;
+    if (name == "detections/.valid") model->idx_det_valid_ = i;
+    if (name == "lanes/.prob") model->idx_lane_prob_ = i;
+    if (name == "lanes/.xs") model->idx_lane_xs_ = i;
+    if (name == "lanes/.mask") model->idx_lane_mask_ = i;
+    if (name == "lanes/.start") model->idx_lane_start_ = i;
+    if (name == "lanes/.end") model->idx_lane_end_ = i;
+    if (name == "lanes/.valid") model->idx_lane_valid_ = i;
+    ++i;
+  }
+  fs.release();
+
+  model->runtime_ = PjrtRuntime::Create("", error);
+  if (!model->runtime_) return nullptr;
+  double t0 = NowMs();
+  if (!model->runtime_->Compile(mlir, opts, error)) return nullptr;
+  fprintf(stderr, "[hydranet] compiled %s pipeline in %.1f ms (%d outputs)\n",
+          model->runtime_->platform_name().c_str(), NowMs() - t0,
+          model->runtime_->num_outputs());
+  model->input_staging_.resize((size_t)model->in_b_ * model->in_h_ *
+                               model->in_w_ * 3);
+  return model;
+}
+
+bool HydranetModel::Detect(const cv::Mat& input, OutputInfo* out,
+                           cv::Mat* visual, std::string* error) {
+  double t0 = NowMs();
+  cv::Mat frame = input;
+  if (frame.rows != in_h_ || frame.cols != in_w_) {
+    cv::resize(input, frame, cv::Size(in_w_, in_h_));
+  }
+  cv::Mat rgb;
+  cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+  // batch slot 0 carries the frame; remaining slots (if the artifact was
+  // exported batched) are zero.
+  std::memcpy(input_staging_.data(), rgb.data, (size_t)in_h_ * in_w_ * 3);
+  double t1 = NowMs();
+
+  std::vector<HostBuffer> bufs;
+  std::vector<int64_t> dims = {in_b_, in_h_, in_w_, 3};
+  if (!runtime_->Execute(input_staging_.data(), dims, PJRT_Buffer_Type_U8,
+                         &bufs, error)) {
+    return false;
+  }
+  double t2 = NowMs();
+
+  Postprocess(bufs, input.size(), out);
+  LaneSegConsistencyFilter(out, input.size());
+  double t3 = NowMs();
+
+  out->preprocess_ms = t1 - t0;
+  out->run_ms = t2 - t1;
+  out->postprocess_ms = t3 - t2;
+
+  if (visual != nullptr) {
+    *visual = input.clone();
+    Draw(*out, visual);
+  }
+  return true;
+}
+
+void HydranetModel::Postprocess(const std::vector<HostBuffer>& bufs,
+                                const cv::Size& org, OutputInfo* out) {
+  const float sx = (float)org.width / net_w_;
+  const float sy = (float)org.height / net_h_;
+
+  // --- segmentation: int32 class map [B, H, W] -> CV_8U
+  if (idx_seg_ >= 0) {
+    const HostBuffer& seg = bufs[idx_seg_];
+    int h = (int)seg.dims[1], w = (int)seg.dims[2];
+    out->seg_mask = cv::Mat(h, w, CV_8U);
+    const int32_t* p = seg.as<int32_t>();
+    for (int r = 0; r < h; ++r)
+      for (int c = 0; c < w; ++c)
+        out->seg_mask.at<uint8_t>(r, c) = (uint8_t)p[(size_t)r * w + c];
+  }
+
+  // --- detections (already decoded + NMS'd on device)
+  if (idx_det_boxes_ >= 0) {
+    const float* boxes = bufs[idx_det_boxes_].as<float>();
+    const float* scores = bufs[idx_det_scores_].as<float>();
+    const int32_t* classes = bufs[idx_det_classes_].as<int32_t>();
+    const uint8_t* valid = bufs[idx_det_valid_].as<uint8_t>();
+    int n = (int)bufs[idx_det_boxes_].dims[1];
+    for (int k = 0; k < n; ++k) {
+      if (!valid[k]) continue;
+      DetectionResult d;
+      d.x1 = boxes[k * 4 + 0] * sx;
+      d.y1 = boxes[k * 4 + 1] * sy;
+      d.x2 = boxes[k * 4 + 2] * sx;
+      d.y2 = boxes[k * 4 + 3] * sy;
+      d.score = scores[k];
+      d.class_id = classes[k];
+      out->detections.push_back(d);
+    }
+  }
+
+  // --- lanes (decoded + NMS'd on device): xs grid -> point lists
+  if (idx_lane_prob_ >= 0) {
+    const float* prob = bufs[idx_lane_prob_].as<float>();
+    const float* xs = bufs[idx_lane_xs_].as<float>();
+    const uint8_t* mask = bufs[idx_lane_mask_].as<uint8_t>();
+    const int32_t* start = bufs[idx_lane_start_].as<int32_t>();
+    const int32_t* end = bufs[idx_lane_end_].as<int32_t>();
+    const uint8_t* valid = bufs[idx_lane_valid_].as<uint8_t>();
+    int L = (int)bufs[idx_lane_xs_].dims[1];
+    int ppl = (int)bufs[idx_lane_xs_].dims[2];
+    for (int l = 0; l < L; ++l) {
+      if (!valid[l] || prob[l] < 0.01f) continue;
+      LaneResult lane;
+      lane.score = prob[l];
+      for (int p = start[l]; p < end[l] && p < ppl; ++p) {
+        if (p < 0 || !mask[(size_t)l * ppl + p]) continue;
+        LanePoint pt;
+        pt.x = xs[(size_t)l * ppl + p] * sx;
+        pt.y = (float)((net_h_ - 1 - p * lane_interval_) * sy);
+        lane.points.push_back(pt);
+      }
+      if (lane.points.size() >= 2) out->lanes.push_back(lane);
+    }
+  }
+}
+
+void HydranetModel::LaneSegConsistencyFilter(OutputInfo* out,
+                                             const cv::Size& org) const {
+  // Keep a lane only if its rasterization overlaps the segmentation's
+  // marking class (id 2) by > 1% — the reference's C++-only filter
+  // (hydranet_model.cpp:568-607).
+  if (out->seg_mask.empty() || out->lanes.empty()) return;
+  cv::Mat marking = (out->seg_mask == 2);  // 255 where marking_area
+  const float sx = (float)out->seg_mask.cols / org.width;
+  const float sy = (float)out->seg_mask.rows / org.height;
+  std::vector<LaneResult> kept;
+  for (const auto& lane : out->lanes) {
+    cv::Mat raster = cv::Mat::zeros(out->seg_mask.size(), CV_8U);
+    for (size_t i = 0; i + 1 < lane.points.size(); ++i) {
+      cv::line(raster,
+               cv::Point((int)(lane.points[i].x * sx),
+                         (int)(lane.points[i].y * sy)),
+               cv::Point((int)(lane.points[i + 1].x * sx),
+                         (int)(lane.points[i + 1].y * sy)),
+               255, 5);
+    }
+    cv::Mat overlap;
+    cv::bitwise_and(raster, marking, overlap);
+    double lane_px = cv::countNonZero(raster);
+    double hit_px = cv::countNonZero(overlap);
+    if (lane_px > 0 && hit_px / lane_px > 0.01) kept.push_back(lane);
+  }
+  out->lanes.swap(kept);
+}
+
+void HydranetModel::Draw(const OutputInfo& out, cv::Mat* visual) const {
+  // seg overlay
+  if (!out.seg_mask.empty()) {
+    cv::Mat color(out.seg_mask.size(), CV_8UC3, cv::Scalar(0, 0, 0));
+    for (int r = 0; r < out.seg_mask.rows; ++r) {
+      for (int c = 0; c < out.seg_mask.cols; ++c) {
+        int id = out.seg_mask.at<uint8_t>(r, c);
+        if (id > 0 && id < 5) color.at<cv::Vec3b>(r, c) = kSegColors[id];
+      }
+    }
+    cv::resize(color, color, visual->size(), 0, 0, cv::INTER_NEAREST);
+    cv::addWeighted(*visual, 0.8, color, 0.5, 0.0, *visual);
+  }
+  // lanes
+  for (const auto& lane : out.lanes) {
+    for (size_t i = 0; i + 1 < lane.points.size(); ++i) {
+      cv::line(*visual,
+               cv::Point((int)lane.points[i].x, (int)lane.points[i].y),
+               cv::Point((int)lane.points[i + 1].x,
+                         (int)lane.points[i + 1].y),
+               cv::Scalar(0, 255, 255), 10);
+    }
+    char txt[64];
+    snprintf(txt, sizeof(txt), "Lane: %.2f", lane.score);
+    cv::putText(*visual, txt,
+                cv::Point(std::max(30, (int)lane.points[0].x),
+                          std::max(30, (int)lane.points[0].y - 10)),
+                cv::FONT_HERSHEY_SIMPLEX, 1.2, cv::Scalar(0, 255, 255), 3);
+  }
+  // detections
+  for (const auto& d : out.detections) {
+    cv::rectangle(*visual, cv::Point((int)d.x1, (int)d.y1),
+                  cv::Point((int)d.x2, (int)d.y2), cv::Scalar(0, 255, 0), 2);
+    std::string label =
+        (d.class_id + 1 < (int)class_list_.size())
+            ? class_list_[d.class_id + 1]  // class_list_[0] is background
+            : std::to_string(d.class_id);
+    char txt[96];
+    snprintf(txt, sizeof(txt), "%s %.0f%%", label.c_str(), d.score * 100);
+    cv::putText(*visual, txt, cv::Point((int)d.x1, (int)d.y1 - 4),
+                cv::FONT_HERSHEY_SIMPLEX, 0.6, cv::Scalar(0, 0, 0), 1);
+  }
+}
+
+}  // namespace hydranet

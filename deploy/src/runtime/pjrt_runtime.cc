@@ -1,0 +1,376 @@
+#include "runtime/pjrt_runtime.h"
+
+#include <dlfcn.h>
+
+#include <cstring>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace hydranet {
+namespace {
+
+std::string ErrorMessage(const PJRT_Api* api, PJRT_Error* err) {
+  if (err == nullptr) return "";
+  PJRT_Error_Message_Args margs;
+  std::memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  api->PJRT_Error_Destroy(&dargs);
+  return msg;
+}
+
+#define RETURN_IF_PJRT_ERROR(expr, what)                          \
+  do {                                                            \
+    PJRT_Error* _err = (expr);                                    \
+    if (_err != nullptr) {                                        \
+      if (error) *error = std::string(what) + ": " +              \
+                          ErrorMessage(api_, _err);               \
+      return false;                                               \
+    }                                                             \
+  } while (0)
+
+bool AwaitEvent(const PJRT_Api* api, PJRT_Event* event, std::string* error) {
+  PJRT_Event_Await_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  args.event = event;
+  PJRT_Error* err = api->PJRT_Event_Await(&args);
+  PJRT_Event_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = event;
+  api->PJRT_Event_Destroy(&dargs);
+  if (err != nullptr) {
+    if (error) *error = "event await: " + ErrorMessage(api, err);
+    return false;
+  }
+  return true;
+}
+
+size_t ElementSize(PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_PRED:
+    case PJRT_Buffer_Type_S8:
+    case PJRT_Buffer_Type_U8:
+      return 1;
+    case PJRT_Buffer_Type_S16:
+    case PJRT_Buffer_Type_U16:
+    case PJRT_Buffer_Type_F16:
+    case PJRT_Buffer_Type_BF16:
+      return 2;
+    case PJRT_Buffer_Type_S32:
+    case PJRT_Buffer_Type_U32:
+    case PJRT_Buffer_Type_F32:
+      return 4;
+    case PJRT_Buffer_Type_S64:
+    case PJRT_Buffer_Type_U64:
+    case PJRT_Buffer_Type_F64:
+      return 8;
+    default:
+      return 0;
+  }
+}
+
+}  // namespace
+
+PjrtRuntime::~PjrtRuntime() {
+  if (api_ != nullptr) {
+    if (executable_ != nullptr) {
+      PJRT_LoadedExecutable_Destroy_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+      args.executable = executable_;
+      api_->PJRT_LoadedExecutable_Destroy(&args);
+    }
+    if (client_ != nullptr) {
+      PJRT_Client_Destroy_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+      args.client = client_;
+      api_->PJRT_Client_Destroy(&args);
+    }
+  }
+  if (dl_handle_ != nullptr) dlclose(dl_handle_);
+}
+
+std::unique_ptr<PjrtRuntime> PjrtRuntime::Create(
+    const std::string& plugin_path, std::string* error) {
+  std::string path = plugin_path;
+  if (path.empty()) {
+    const char* env = std::getenv("PJRT_LIBRARY_PATH");
+    path = env != nullptr ? env : "libtpu.so";
+  }
+  void* handle = dlopen(path.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (handle == nullptr) {
+    if (error) *error = std::string("dlopen failed: ") + dlerror();
+    return nullptr;
+  }
+  using GetPjrtApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetPjrtApiFn>(dlsym(handle, "GetPjrtApi"));
+  if (get_api == nullptr) {
+    if (error) *error = "GetPjrtApi symbol not found in " + path;
+    dlclose(handle);
+    return nullptr;
+  }
+
+  auto rt = std::unique_ptr<PjrtRuntime>(new PjrtRuntime());
+  rt->dl_handle_ = handle;
+  rt->api_ = get_api();
+  const PJRT_Api* api_ = rt->api_;  // for RETURN_IF_PJRT_ERROR
+
+  {
+    PJRT_Plugin_Initialize_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    PJRT_Error* err = api_->PJRT_Plugin_Initialize(&args);
+    if (err != nullptr) {
+      if (error) *error = "plugin init: " + ErrorMessage(api_, err);
+      return nullptr;
+    }
+  }
+
+  {
+    // optional named create options from $HN_PJRT_CLIENT_OPTIONS
+    // ("key=value;key2=value2"; numeric values become int64).
+    std::vector<std::string> keys, svals;
+    std::vector<int64_t> ivals;
+    std::vector<bool> is_int;
+    if (const char* env = std::getenv("HN_PJRT_CLIENT_OPTIONS")) {
+      std::string s(env);
+      size_t pos = 0;
+      while (pos < s.size()) {
+        size_t semi = s.find(';', pos);
+        if (semi == std::string::npos) semi = s.size();
+        std::string kv = s.substr(pos, semi - pos);
+        pos = semi + 1;
+        size_t eq = kv.find('=');
+        if (eq == std::string::npos) continue;
+        std::string key = kv.substr(0, eq);
+        std::string val = kv.substr(eq + 1);
+        bool forced_str = val.rfind("str:", 0) == 0;
+        if (forced_str) val = val.substr(4);
+        char* endp = nullptr;
+        long long iv = strtoll(val.c_str(), &endp, 10);
+        bool numeric = !forced_str && endp != nullptr && *endp == '\0' &&
+                       !val.empty();
+        keys.push_back(key);
+        svals.push_back(val);
+        ivals.push_back(numeric ? iv : 0);
+        is_int.push_back(numeric);
+      }
+    }
+    std::vector<PJRT_NamedValue> options(keys.size());
+    for (size_t i = 0; i < keys.size(); ++i) {
+      PJRT_NamedValue& nv = options[i];
+      std::memset(&nv, 0, sizeof(nv));
+      nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+      nv.name = keys[i].c_str();
+      nv.name_size = keys[i].size();
+      if (is_int[i]) {
+        nv.type = PJRT_NamedValue_kInt64;
+        nv.int64_value = ivals[i];
+        nv.value_size = 1;
+      } else {
+        nv.type = PJRT_NamedValue_kString;
+        nv.string_value = svals[i].c_str();
+        nv.value_size = svals[i].size();
+      }
+    }
+
+    PJRT_Client_Create_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    args.create_options = options.empty() ? nullptr : options.data();
+    args.num_options = options.size();
+    PJRT_Error* err = api_->PJRT_Client_Create(&args);
+    if (err != nullptr) {
+      if (error) *error = "client create: " + ErrorMessage(api_, err);
+      return nullptr;
+    }
+    rt->client_ = args.client;
+  }
+
+  {
+    PJRT_Client_PlatformName_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_PlatformName_Args_STRUCT_SIZE;
+    args.client = rt->client_;
+    if (api_->PJRT_Client_PlatformName(&args) == nullptr) {
+      rt->platform_name_.assign(args.platform_name,
+                                args.platform_name_size);
+    }
+  }
+
+  {
+    PJRT_Client_AddressableDevices_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+    args.client = rt->client_;
+    PJRT_Error* err = api_->PJRT_Client_AddressableDevices(&args);
+    if (err != nullptr || args.num_addressable_devices == 0) {
+      if (error) *error = "no addressable devices";
+      if (err) ErrorMessage(api_, err);
+      return nullptr;
+    }
+    rt->device_ = args.addressable_devices[0];
+  }
+  return rt;
+}
+
+bool PjrtRuntime::Compile(const std::string& mlir_bytes,
+                          const std::string& compile_options,
+                          std::string* error) {
+  PJRT_Program program;
+  std::memset(&program, 0, sizeof(program));
+  program.struct_size = PJRT_Program_STRUCT_SIZE;
+  program.code = const_cast<char*>(mlir_bytes.data());
+  program.code_size = mlir_bytes.size();
+  static const char kFormat[] = "mlir";
+  program.format = kFormat;
+  program.format_size = sizeof(kFormat) - 1;
+
+  PJRT_Client_Compile_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  args.client = client_;
+  args.program = &program;
+  args.compile_options = compile_options.data();
+  args.compile_options_size = compile_options.size();
+  RETURN_IF_PJRT_ERROR(api_->PJRT_Client_Compile(&args), "compile");
+  executable_ = args.executable;
+
+  // number of outputs
+  PJRT_LoadedExecutable_GetExecutable_Args gargs;
+  std::memset(&gargs, 0, sizeof(gargs));
+  gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  gargs.loaded_executable = executable_;
+  RETURN_IF_PJRT_ERROR(api_->PJRT_LoadedExecutable_GetExecutable(&gargs),
+                       "get executable");
+  PJRT_Executable_NumOutputs_Args nargs;
+  std::memset(&nargs, 0, sizeof(nargs));
+  nargs.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  nargs.executable = gargs.executable;
+  RETURN_IF_PJRT_ERROR(api_->PJRT_Executable_NumOutputs(&nargs),
+                       "num outputs");
+  num_outputs_ = static_cast<int>(nargs.num_outputs);
+  return true;
+}
+
+bool PjrtRuntime::Execute(const void* input,
+                          const std::vector<int64_t>& dims, int input_type,
+                          std::vector<HostBuffer>* outputs,
+                          std::string* error) {
+  // H2D
+  PJRT_Buffer* in_buf = nullptr;
+  {
+    PJRT_Client_BufferFromHostBuffer_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    args.client = client_;
+    args.data = input;
+    args.type = static_cast<PJRT_Buffer_Type>(input_type);
+    args.dims = dims.data();
+    args.num_dims = dims.size();
+    args.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    args.device = device_;
+    RETURN_IF_PJRT_ERROR(api_->PJRT_Client_BufferFromHostBuffer(&args),
+                         "h2d");
+    in_buf = args.buffer;
+    if (!AwaitEvent(api_, args.done_with_host_buffer, error)) return false;
+  }
+
+  // Execute
+  std::vector<PJRT_Buffer*> out_bufs(num_outputs_, nullptr);
+  {
+    PJRT_ExecuteOptions options;
+    std::memset(&options, 0, sizeof(options));
+    options.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+    PJRT_Buffer* const arg_list[] = {in_buf};
+    PJRT_Buffer* const* const argument_lists[] = {arg_list};
+    PJRT_Buffer** output_lists[] = {out_bufs.data()};
+    PJRT_Event* device_complete = nullptr;
+    PJRT_Event* device_complete_events[] = {device_complete};
+
+    PJRT_LoadedExecutable_Execute_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    args.executable = executable_;
+    args.options = &options;
+    args.argument_lists = argument_lists;
+    args.num_devices = 1;
+    args.num_args = 1;
+    args.output_lists = output_lists;
+    args.device_complete_events = device_complete_events;
+    args.execute_device = device_;
+    RETURN_IF_PJRT_ERROR(api_->PJRT_LoadedExecutable_Execute(&args),
+                         "execute");
+    if (device_complete_events[0] != nullptr &&
+        !AwaitEvent(api_, device_complete_events[0], error)) {
+      return false;
+    }
+  }
+
+  // destroy input buffer
+  {
+    PJRT_Buffer_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    args.buffer = in_buf;
+    api_->PJRT_Buffer_Destroy(&args);
+  }
+
+  // D2H each output
+  outputs->clear();
+  outputs->resize(num_outputs_);
+  for (int i = 0; i < num_outputs_; ++i) {
+    HostBuffer& hb = (*outputs)[i];
+    {
+      PJRT_Buffer_Dimensions_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+      args.buffer = out_bufs[i];
+      RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_Dimensions(&args), "dims");
+      hb.dims.assign(args.dims, args.dims + args.num_dims);
+    }
+    {
+      PJRT_Buffer_ElementType_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+      args.buffer = out_bufs[i];
+      RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ElementType(&args), "dtype");
+      hb.element_type = static_cast<int>(args.type);
+      hb.element_size = ElementSize(args.type);
+    }
+    {
+      PJRT_Buffer_ToHostBuffer_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      args.src = out_bufs[i];
+      args.dst = nullptr;
+      RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ToHostBuffer(&args),
+                           "d2h size query");
+      hb.data.resize(args.dst_size);
+      args.dst = hb.data.data();
+      RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ToHostBuffer(&args), "d2h");
+      if (!AwaitEvent(api_, args.event, error)) return false;
+    }
+    {
+      PJRT_Buffer_Destroy_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      args.buffer = out_bufs[i];
+      api_->PJRT_Buffer_Destroy(&args);
+    }
+  }
+  return true;
+}
+
+}  // namespace hydranet

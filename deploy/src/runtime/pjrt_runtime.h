@@ -1,0 +1,83 @@
+// PJRT runtime wrapper: the TPU-native replacement for the reference's
+// ONNX Runtime session (reference deploy/src/model/hydranet_model.h:128-223,
+// which owns an Ort::Env/Session with TensorRT/CUDA EPs).
+//
+// Loads a PJRT C-API plugin (libtpu.so on TPU hosts; $PJRT_LIBRARY_PATH
+// override), compiles a StableHLO module exported by
+// hydranet_tpu.inference.InferencePipeline.export_artifact, and executes it
+// with zero-copy host buffers.
+
+#ifndef HYDRANET_DEPLOY_PJRT_RUNTIME_H_
+#define HYDRANET_DEPLOY_PJRT_RUNTIME_H_
+
+#include <cstdint>
+#include <memory>
+#include <string>
+#include <vector>
+
+struct PJRT_Api;
+struct PJRT_Client;
+struct PJRT_LoadedExecutable;
+struct PJRT_Device;
+
+namespace hydranet {
+
+struct HostBuffer {
+  std::vector<uint8_t> data;
+  std::vector<int64_t> dims;
+  int element_type = 0;  // PJRT_Buffer_Type
+  size_t element_size = 0;
+
+  template <typename T>
+  const T* as() const {
+    return reinterpret_cast<const T*>(data.data());
+  }
+  int64_t num_elements() const {
+    int64_t n = 1;
+    for (int64_t d : dims) n *= d;
+    return n;
+  }
+};
+
+class PjrtRuntime {
+ public:
+  ~PjrtRuntime();
+
+  // plugin_path: explicit .so path, or "" to use $PJRT_LIBRARY_PATH and then
+  // "libtpu.so".
+  //
+  // Client create options: some PJRT plugins require named options. They can
+  // be supplied via $HN_PJRT_CLIENT_OPTIONS as ";"-separated "key=value"
+  // pairs (values parsed as int64 when numeric; "str:" prefix forces string).
+  // libtpu needs none.
+  static std::unique_ptr<PjrtRuntime> Create(const std::string& plugin_path,
+                                             std::string* error);
+
+  bool Compile(const std::string& mlir_bytes,
+               const std::string& compile_options,
+               std::string* error);
+
+  // Execute with a single dense input (uint8 NHWC frames for HydraNet).
+  // Outputs are fetched to host in executable output order.
+  bool Execute(const void* input, const std::vector<int64_t>& dims,
+               int input_type /* PJRT_Buffer_Type */,
+               std::vector<HostBuffer>* outputs, std::string* error);
+
+  int num_outputs() const { return num_outputs_; }
+  const std::string& platform_name() const { return platform_name_; }
+
+ private:
+  PjrtRuntime() = default;
+
+  void* dl_handle_ = nullptr;
+  const PJRT_Api* api_ = nullptr;
+  PJRT_Client* client_ = nullptr;
+  PJRT_LoadedExecutable* executable_ = nullptr;
+  PJRT_Device* device_ = nullptr;
+  int num_outputs_ = 0;
+  std::string platform_name_;
+};
+
+}  // namespace hydranet
+
+#endif  // HYDRANET_DEPLOY_PJRT_RUNTIME_H_

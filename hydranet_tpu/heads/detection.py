@@ -225,6 +225,8 @@ def postprocess(
     threshold (always, in practice, for sane thresholds).
     """
     boxes_all = clip_boxes(bbox_transform(anchors, regression), image_hw)
+    pre_nms_top_k = min(pre_nms_top_k, anchors.shape[1])
+    max_detections = min(max_detections, pre_nms_top_k)
 
     def per_image(boxes, cls):
         scores = jnp.max(cls, axis=-1)

@@ -354,7 +354,8 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
     Candidates are the `top_k` anchors by probability (the reference considers
     every anchor above threshold; identical whenever <= top_k anchors fire).
     """
-    k = top_k
+    k = min(top_k, lanes.prob.shape[-1])
+    max_lanes = min(max_lanes, k)
     top_prob, idx = jax.lax.top_k(
         jnp.where(lanes.valid, lanes.prob, -1.0), k)
     cand = DecodedLanes(

@@ -179,6 +179,60 @@ class InferencePipeline:
 
     # ------------------------------------------------------------- export
 
+    def export_artifact(self, out_dir: str) -> None:
+        """Write the native deployment artifact consumed by the C++ runtime
+        (deploy/): weights frozen into the graph, single uint8-frames input.
+
+        Files:
+          module.mlir        — StableHLO bytecode of the full pipeline
+          compile_options.pb — serialized xla.CompileOptionsProto
+          artifact.json      — input/output specs (flat, pytree paths)
+        """
+        import json
+        import os
+
+        from jax import export as jax_export
+        from jaxlib import xla_client
+
+        os.makedirs(out_dir, exist_ok=True)
+        h0, w0 = self.input_hw
+        spec = jax.ShapeDtypeStruct((self.batch_size, h0, w0, 3), jnp.uint8)
+        variables = self.variables
+
+        def frozen(frames):
+            return self._run.__wrapped__(variables, frames)
+
+        exported = jax_export.export(jax.jit(frozen))(spec)
+        with open(os.path.join(out_dir, "module.mlir"), "wb") as f:
+            f.write(exported.mlir_module_serialized)
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(xla_client.CompileOptions().SerializeAsString())
+
+        flat_paths = []
+        leaves, treedef = jax.tree_util.tree_flatten(
+            jax.eval_shape(frozen, spec))
+        paths = jax.tree_util.tree_flatten_with_path(
+            jax.eval_shape(frozen, spec))[0]
+        for path, leaf in paths:
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            flat_paths.append(dict(name=name, shape=list(leaf.shape),
+                                   dtype=str(leaf.dtype)))
+        meta = dict(
+            input=dict(shape=list(spec.shape), dtype="uint8",
+                       layout="NHWC RGB"),
+            outputs=flat_paths,
+            net_input_hw=list(self.net_hw),
+            seg_num_classes=self.cfg.segment.num_classes,
+            det_class_list=list(self.cfg.detection.class_list),
+            lane=dict(points_per_line=self.cfg.lane_points_per_line,
+                      interval=self.net_hw[0] / self.cfg.lane_points_per_line,
+                      max_lanes=self.cfg.lane.max_lanes),
+            max_detections=self.cfg.detection.max_detections,
+        )
+        with open(os.path.join(out_dir, "artifact.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
     def export_stablehlo(self, path: str) -> None:
         """Serialize the full compiled pipeline to portable StableHLO — the
         deployment artifact replacing the reference's hydraNET.onnx
