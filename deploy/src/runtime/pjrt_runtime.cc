@@ -327,9 +327,12 @@ bool PjrtRuntime::Execute(const void* input,
     api_->PJRT_Buffer_Destroy(&args);
   }
 
-  // D2H each output
+  // D2H: start every copy first, then await all — one pipeline of transfers
+  // instead of num_outputs serialized round trips (matters a lot when the
+  // device is reached over a network tunnel).
   outputs->clear();
   outputs->resize(num_outputs_);
+  std::vector<PJRT_Event*> events(num_outputs_, nullptr);
   for (int i = 0; i < num_outputs_; ++i) {
     HostBuffer& hb = (*outputs)[i];
     {
@@ -349,28 +352,31 @@ bool PjrtRuntime::Execute(const void* input,
       hb.element_type = static_cast<int>(args.type);
       hb.element_size = ElementSize(args.type);
     }
+    size_t bytes = hb.element_size * (size_t)hb.num_elements();
+    hb.data.resize(bytes);
     {
       PJRT_Buffer_ToHostBuffer_Args args;
       std::memset(&args, 0, sizeof(args));
       args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
       args.src = out_bufs[i];
-      args.dst = nullptr;
-      RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ToHostBuffer(&args),
-                           "d2h size query");
-      hb.data.resize(args.dst_size);
       args.dst = hb.data.data();
+      args.dst_size = bytes;
       RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ToHostBuffer(&args), "d2h");
-      if (!AwaitEvent(api_, args.event, error)) return false;
-    }
-    {
-      PJRT_Buffer_Destroy_Args args;
-      std::memset(&args, 0, sizeof(args));
-      args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-      args.buffer = out_bufs[i];
-      api_->PJRT_Buffer_Destroy(&args);
+      events[i] = args.event;
     }
   }
-  return true;
+  bool ok = true;
+  for (int i = 0; i < num_outputs_; ++i) {
+    if (events[i] != nullptr && !AwaitEvent(api_, events[i], error)) {
+      ok = false;
+    }
+    PJRT_Buffer_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    args.buffer = out_bufs[i];
+    api_->PJRT_Buffer_Destroy(&args);
+  }
+  return ok;
 }
 
 }  // namespace hydranet

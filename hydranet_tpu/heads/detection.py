@@ -164,6 +164,15 @@ class Detections(NamedTuple):
     valid: jnp.ndarray      # [..., max_det] bool
 
 
+try:  # allow the result type through jax.export serialization
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        Detections, serialized_name="hydranet_tpu.Detections")
+except (ImportError, AttributeError, ValueError):
+    pass
+
+
 def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     """Pairwise IoU of [K, 4] (x1, y1, x2, y2) boxes, torchvision convention
     (no +1)."""

@@ -229,6 +229,15 @@ class DecodedLanes(NamedTuple):
     anchor: jnp.ndarray  # [..., L] int32 — source anchor index (h*fw + w)
 
 
+try:  # allow the result type through jax.export serialization
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        DecodedLanes, serialized_name="hydranet_tpu.DecodedLanes")
+except (ImportError, AttributeError, ValueError):
+    pass
+
+
 def decode_lanes(
     predict_cls: jnp.ndarray,  # [N, 2] softmax probabilities
     predict_loc: jnp.ndarray,  # [N, 2*ppl+2]

@@ -1,0 +1,67 @@
+"""Inference pipeline: end-to-end run, export/reload roundtrip, metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydranet_tpu.inference import InferencePipeline, load_stablehlo
+from hydranet_tpu.models.hydranet import HydraNet
+from tests.test_hydranet import small_config
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = small_config()
+    model = HydraNet(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)))
+    return cfg, InferencePipeline(cfg, variables, batch_size=2,
+                                  input_hw=(96, 160),
+                                  compute_dtype=jnp.float32)
+
+
+def test_pipeline_end_to_end(pipe):
+    cfg, p = pipe
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (2, 96, 160, 3), np.uint8)
+    results = p(frames)
+    assert results["seg"].shape == (2, 128, 128)
+    assert results["detections"].boxes.shape[0] == 2
+    assert results["lanes"].xs.shape[0] == 2
+    # visualization smoke
+    vis = p.visualize(results, [rng.randint(0, 255, (96, 160, 3), np.uint8)
+                                for _ in range(2)])
+    assert len(vis) == 2 and vis[0].shape == (96, 160, 3)
+
+
+def test_export_reload_roundtrip(tmp_path, pipe):
+    cfg, p = pipe
+    path = os.path.join(str(tmp_path), "pipe.stablehlo")
+    p.export_stablehlo(path)
+    call = load_stablehlo(path)
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.randint(0, 255, (2, 96, 160, 3), np.uint8))
+    want = p(frames)
+    got = call(p.variables, frames)
+    np.testing.assert_array_equal(np.asarray(got["seg"]),
+                                  np.asarray(want["seg"]))
+    np.testing.assert_allclose(np.asarray(got["detections"].boxes),
+                               np.asarray(want["detections"].boxes),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_artifact(tmp_path, pipe):
+    import json
+
+    cfg, p = pipe
+    p.export_artifact(str(tmp_path))
+    for f in ["module.mlir", "compile_options.pb", "artifact.json"]:
+        assert os.path.exists(os.path.join(str(tmp_path), f))
+    meta = json.load(open(os.path.join(str(tmp_path), "artifact.json")))
+    assert meta["input"]["shape"] == [2, 96, 160, 3]
+    names = [o["name"] for o in meta["outputs"]]
+    assert "seg" in names and "detections/.boxes" in names
+    assert "lanes/.xs" in names
