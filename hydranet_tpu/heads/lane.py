@@ -36,12 +36,14 @@ class LaneHead(nn.Module):
         Flat names (e.g. cls_conv1/cls_bn/cls_conv2) keep checkpoint import
         1:1 with the reference's nn.Sequential indices (0=conv, 1=bn, 3=conv).
         """
-        h = nn.Conv(self.base_channel, (1, 1), use_bias=False, dtype=self.dtype,
-                    name=f"{prefix}_conv1")(x)
+        from hydranet_tpu.ops.fast_conv import FastConv
+
+        h = FastConv(self.base_channel, (1, 1), use_bias=False,
+                     dtype=self.dtype, name=f"{prefix}_conv1")(x)
         h = TorchBatchNorm(dtype=self.dtype, name=f"{prefix}_bn")(h, train=train)
         h = nn.relu(h)
-        return nn.Conv(out_channels, (1, 1), use_bias=True, dtype=self.dtype,
-                       name=f"{prefix}_conv2")(h)
+        return FastConv(out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"{prefix}_conv2")(h)
 
     @nn.compact
     def __call__(self, fused_feats: Sequence[jnp.ndarray],

@@ -39,9 +39,11 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from hydranet_tpu.ops.fast_conv import FastConv
+
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-        return nn.Conv(self.features, (3, 3), padding="VALID",
-                       dtype=self.dtype, name="conv")(x)
+        return FastConv(self.features, (3, 3), padding="VALID",
+                        dtype=self.dtype, name="conv")(x)
 
 
 class ConvBlock(nn.Module):

@@ -19,8 +19,10 @@ from hydranet_tpu.ops.common import TorchBatchNorm, conv_kaiming_init
 
 
 def _conv(features, kernel, stride=1, groups=1, use_bias=False, dtype=None, name=None):
+    from hydranet_tpu.ops.fast_conv import FastConv
+
     pad = (kernel - 1) // 2
-    return nn.Conv(
+    return FastConv(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),

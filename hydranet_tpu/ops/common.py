@@ -87,8 +87,10 @@ class SamePadConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from hydranet_tpu.ops.fast_conv import FastConv
+
         pad = 0 if self.kernel_size == 1 else 1
-        conv = nn.Conv(
+        conv = FastConv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
