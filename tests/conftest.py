@@ -14,6 +14,12 @@ import sys
 import jax
 import pytest
 
+# Force the CPU backend: the image's sitecustomize registers the remote-TPU
+# ("axon") platform and sets jax_platforms to it, overriding the env default
+# above — config.update wins over both. Tests must run on the virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Golden-parity tests compare against torch f32; JAX's default conv/matmul
 # precision is reduced. Production code keeps the default (bf16 MXU passes).
 jax.config.update("jax_default_matmul_precision", "highest")
