@@ -28,21 +28,50 @@ class FastConv(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
 
+    def _pad_for_mxu_kernel(self, x):
+        """Returns the pre-padded input when this conv maps onto the Pallas
+        3x3 MXU kernel, else None."""
+        if (self.kernel_size != (3, 3) or tuple(self.strides) != (1, 1)
+                or self.feature_group_count != 1):
+            return None
+        pad = self.padding
+        if pad == "VALID":
+            return x
+        if pad == "SAME" or (not isinstance(pad, str)
+                             and tuple(map(tuple, pad)) == ((1, 1), (1, 1))):
+            return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return None
+
     @nn.compact
     def __call__(self, x):
+        from hydranet_tpu.ops.pallas_conv import conv3x3_prepadded, tpu_backend
+
         kh, kw = self.kernel_size
         in_features = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, in_features, self.features))
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype),
-            window_strides=self.strides,
-            padding=self.padding,
-            feature_group_count=self.feature_group_count,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dtype)
+
+        # The standalone Pallas kernel beats XLA's conv lowering (~73 vs
+        # ~41 TF/s, see ops/pallas_conv.py), but inside the fully fused
+        # pipeline it acts as a fusion barrier and costs more than it saves
+        # (measured 501 vs 591 fps e2e) — so it is opt-in per conv.
+        import os
+
+        use_mxu = (tpu_backend()
+                   and os.environ.get("HN_USE_PALLAS_CONV", "0") == "1")
+        xp = self._pad_for_mxu_kernel(x) if use_mxu else None
+        if xp is not None:
+            y = conv3x3_prepadded(xp, kernel.astype(dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(dtype),
+                window_strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(dtype)
