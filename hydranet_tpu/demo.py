@@ -74,8 +74,9 @@ def main(argv=None):
     if args.deploy:
         pipe = InferencePipeline(cfg, variables, batch_size=args.batch,
                                  input_hw=(1080, 1920))
-        pipe.export_stablehlo(args.deploy)
-        print(f"exported pipeline -> {args.deploy}")
+        pipe.export_artifact(args.deploy)  # module.mlir + options + specs
+        pipe.export_stablehlo(os.path.join(args.deploy, "pipeline.jaxexport"))
+        print(f"exported deployment artifact -> {args.deploy}/")
         return
 
     os.makedirs(args.out, exist_ok=True)
