@@ -66,12 +66,14 @@ class HydraTrainer:
         # data — train.py:66-84
         self.train_data = MultitaskDataset(cfg, mode="train")
         self.valid_data = MultitaskDataset(cfg, mode="val")
-        self.trainloader = DataLoader(self.train_data,
-                                      batch_size=cfg.train.batch_size_train,
-                                      shuffle=True)
-        self.validloader = DataLoader(self.valid_data,
-                                      batch_size=cfg.train.batch_size_valid,
-                                      shuffle=False)
+        self.trainloader = DataLoader(
+            self.train_data, batch_size=cfg.train.batch_size_train,
+            shuffle=True,
+            num_prefetch=max(2, cfg.train.num_worker_train))
+        self.validloader = DataLoader(
+            self.valid_data, batch_size=cfg.train.batch_size_valid,
+            shuffle=False,
+            num_prefetch=max(2, cfg.train.num_worker_valid))
 
         # mesh + model — the DP mesh replaces DDP (train.py:129-137)
         self.mesh = make_mesh() if use_mesh else None
@@ -199,6 +201,14 @@ class HydraTrainer:
             self.state, losses = self.train_step(
                 self.state, self._device_batch(batch), mask)
             if it % self.print_interval == 0:
+                # divergence guard — equivalent of the reference's
+                # non-finite-loss aborts (model.py:212-258), checked at print
+                # cadence so the hot loop stays sync-free.
+                for k, v in losses.items():
+                    if not np.isfinite(float(v)):
+                        raise RuntimeError(
+                            f"loss '{k}' diverged (non-finite) at epoch "
+                            f"{epoch} iter {it}")
                 self.print_loss_info(losses, epoch, it, n, mode="train")
 
     # ------------------------------------------------------------------ valid
