@@ -72,6 +72,9 @@ class BackboneCfg:
     fpn_num_filters: int = 112
     fpn_cell_repeats: int = 3
     conv_channel_coef: Tuple[int, ...] = (64, 152, 376, 936)
+    # hydranet_tpu extension: rematerialize backbone stages in backward
+    # (jax.checkpoint) to trade recompute for activation memory.
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "conv_channel_coef", tuple(self.conv_channel_coef))

@@ -139,6 +139,9 @@ class AnyNetXe(nn.Module):
     stride: int = 2
     se_ratio: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each stage in the backward pass (jax.checkpoint): trades
+    # recompute FLOPs for activation HBM — enables larger training batches.
+    remat: bool = False
 
     def __post_init__(self):
         for f in ("ls_num_blocks", "ls_block_width", "ls_bottleneck_ratio",
@@ -163,7 +166,7 @@ class AnyNetXe(nn.Module):
         for i, (nb, bw, br, gw) in enumerate(zip(
                 self.ls_num_blocks, self.ls_block_width,
                 self.ls_bottleneck_ratio, self.ls_group_width)):
-            x = Stage(
+            stage = Stage(
                 num_blocks=int(nb),
                 out_channels=int(bw),
                 bottleneck_ratio=int(br),
@@ -172,6 +175,12 @@ class AnyNetXe(nn.Module):
                 se_ratio=self.se_ratio,
                 dtype=self.dtype,
                 name=f"stage_{i}",
-            )(x, train=train)
+            )
+            if self.remat:
+                # lifted remat over a (module, x) function; `train` stays a
+                # static Python value via the closure.
+                x = nn.remat(lambda mdl, y: mdl(y, train=train))(stage, x)
+            else:
+                x = stage(x, train=train)
             feats.append(x)
         return feats

@@ -46,7 +46,7 @@ class HydraNet(nn.Module):
         backbone = RegNetY(
             bb.initial_width, bb.slope, bb.quantized_param, bb.network_depth,
             bb.bottleneck_ratio, bb.group_width, bb.stride, bb.se_ratio,
-            dtype=self.dtype)
+            dtype=self.dtype, remat=bb.remat)
         feats = backbone.copy(name="backbone")(x, train=train)
 
         neck = StackBiFPN(

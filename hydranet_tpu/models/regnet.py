@@ -56,6 +56,7 @@ def RegNetY(
     stride: int,
     se_ratio: Optional[int],
     dtype=None,
+    remat: bool = False,
 ) -> AnyNetXe:
     """Build a RegNetY backbone module — regnet.py:47-52."""
     widths, depths, group_widths = regnet_stage_params(
@@ -69,4 +70,5 @@ def RegNetY(
         stride=stride,
         se_ratio=se_ratio,
         dtype=dtype,
+        remat=remat,
     )
