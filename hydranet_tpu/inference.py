@@ -58,7 +58,8 @@ class InferencePipeline:
                  input_hw: Optional[Tuple[int, int]] = None,
                  compute_dtype=jnp.bfloat16,
                  det_conf_thres: float = 0.4, det_iou_thres: float = 0.3,
-                 lane_conf_thres: float = 0.9, lane_nms_thres: float = 80.0):
+                 lane_conf_thres: float = 0.9, lane_nms_thres: float = 80.0,
+                 mesh=None):
         self.cfg = cfg
         self.variables = variables
         self.batch_size = batch_size
@@ -107,11 +108,42 @@ class InferencePipeline:
                                                  out["lane"]["predict_loc"])
             return results
 
-        self._run = jax.jit(run)
+        if mesh is not None:
+            # multi-chip batched inference: frames sharded over the data
+            # axis, weights replicated; XLA partitions the whole pipeline
+            # (including the per-image vmapped post-processing) with no
+            # cross-device collectives in the hot path.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(variables, repl)
+            self._run = jax.jit(run, in_shardings=(repl, data),
+                                out_shardings=data)
+        else:
+            self._run = jax.jit(run)
 
     def __call__(self, frames: np.ndarray) -> Dict[str, Any]:
         """frames: uint8 RGB [B, H0, W0, 3] (B == batch_size)."""
         return self._run(self.variables, jnp.asarray(frames))
+
+    def stream(self, frame_batches, depth: int = 2):
+        """Pipelined serving: keep up to `depth` batches in flight so host
+        H2D transfer and preprocessing of batch k+1 overlap device compute
+        of batch k (JAX dispatch is async). Yields results in order.
+
+        The reference's per-frame loop (demo.py:167-261) synchronizes on
+        every frame; this is the TPU-native streaming shape.
+        """
+        import collections
+
+        pending = collections.deque()
+        for frames in frame_batches:
+            pending.append(self._run(self.variables, jnp.asarray(frames)))
+            if len(pending) >= depth:
+                yield jax.tree_util.tree_map(np.asarray, pending.popleft())
+        while pending:
+            yield jax.tree_util.tree_map(np.asarray, pending.popleft())
 
     # ------------------------------------------------------------- host visual
 
@@ -209,8 +241,6 @@ class InferencePipeline:
             f.write(xla_client.CompileOptions().SerializeAsString())
 
         flat_paths = []
-        leaves, treedef = jax.tree_util.tree_flatten(
-            jax.eval_shape(frozen, spec))
         paths = jax.tree_util.tree_flatten_with_path(
             jax.eval_shape(frozen, spec))[0]
         for path, leaf in paths:

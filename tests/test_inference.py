@@ -53,6 +53,40 @@ def test_export_reload_roundtrip(tmp_path, pipe):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_mesh_sharded_inference(pipe):
+    """Batched inference sharded over the 8-device mesh matches the
+    single-device pipeline."""
+    from hydranet_tpu.parallel.mesh import make_mesh
+
+    cfg, p = pipe
+    mesh = make_mesh()
+    p8 = InferencePipeline(cfg, p.variables, batch_size=8,
+                           input_hw=(96, 160), compute_dtype=jnp.float32,
+                           mesh=mesh)
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 255, (8, 96, 160, 3), np.uint8)
+    sharded = p8(frames)
+    # reference: run the same frames through the unsharded 2-batch pipeline
+    want0 = p(frames[:2])
+    np.testing.assert_array_equal(np.asarray(sharded["seg"][:2]),
+                                  np.asarray(want0["seg"]))
+    np.testing.assert_allclose(np.asarray(sharded["detections"].boxes[:2]),
+                               np.asarray(want0["detections"].boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_stream_ordering(pipe):
+    cfg, p = pipe
+    rng = np.random.RandomState(4)
+    batches = [rng.randint(0, 255, (2, 96, 160, 3), np.uint8)
+               for _ in range(4)]
+    singles = [jax.tree_util.tree_map(np.asarray, p(b)) for b in batches]
+    streamed = list(p.stream(iter(batches), depth=2))
+    assert len(streamed) == 4
+    for got, want in zip(streamed, singles):
+        np.testing.assert_array_equal(got["seg"], want["seg"])
+
+
 def test_export_artifact(tmp_path, pipe):
     import json
 
