@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import itertools
 from functools import partial
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,7 @@ class _Tower(nn.Module):
     num_layers: int
     pyramid_levels: int
     dtype: Optional[jnp.dtype] = None
+    header_bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -75,7 +76,9 @@ class _Tower(nn.Module):
                  for i in range(self.num_layers)]
         header = SeparableConvBlock(self.num_anchors * self.out_per_anchor,
                                     norm=False, activation=False,
-                                    dtype=self.dtype, name="header")
+                                    dtype=self.dtype,
+                                    bias_init=self.header_bias_init,
+                                    name="header")
         outs = []
         for lvl, feat in enumerate(feats):
             for i in range(self.num_layers):
@@ -116,10 +119,17 @@ class DetectionHead(nn.Module):
             num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
             pyramid_levels=self.pyramid_levels, dtype=self.dtype,
             name="regressor")(fused_feats, train=train)
+        # RetinaNet-style focal-loss prior on the classifier bias
+        # (pi = 0.01): fresh models start predicting "background" so early
+        # training is stable and untrained inference doesn't flood NMS. The
+        # reference leaves this at torch defaults; weight import overwrites
+        # it, so golden parity is unaffected.
+        prior = float(-np.log((1.0 - 0.01) / 0.01))
         classification = _Tower(
             in_channels=self.in_channels, out_per_anchor=self.num_classes,
             num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
             pyramid_levels=self.pyramid_levels, dtype=self.dtype,
+            header_bias_init=nn.initializers.constant(prior),
             name="classifier")(fused_feats, train=train)
         classification = jax.nn.sigmoid(classification)
         anchors = jnp.asarray(generate_anchors(
@@ -202,15 +212,25 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     later = jnp.triu(jnp.ones((k, k), bool), 1)
     over = over & later
 
-    def body(i, state):
-        keep, suppressed = state
+    # Rows are score-sorted with invalid entries last, so the scan only needs
+    # to visit the valid prefix — a while_loop with a data-dependent trip
+    # count (no recompilation; typically tens of steps, not k).
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+
+    def cond(state):
+        i, _, _ = state
+        return i < num_valid
+
+    def body(state):
+        i, keep, suppressed = state
         is_kept = valid[i] & ~suppressed[i]
         keep = keep.at[i].set(is_kept)
         suppressed = suppressed | (is_kept & over[i])
-        return keep, suppressed
+        return i + 1, keep, suppressed
 
-    keep, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool)))
+    _, keep, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros(k, bool), jnp.zeros(k, bool)))
     return keep
 
 

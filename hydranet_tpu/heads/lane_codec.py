@@ -295,19 +295,21 @@ def decode_lanes(
     start = ayp - count_down
     end = ayp + count_up
 
-    # scatter into the dense per-row x grid: pos = ayp + i (up), ayp-1-i (down)
+    # Fill the dense per-row x grid. Walk positions are affine in the walk
+    # index (up: pos = ayp + i; down: pos = ayp - 1 - i), so the scatter
+    # inverts into a plain gather: row `pos` takes up_x[pos - ayp] /
+    # down_x[ayp - 1 - pos]. O(N*ppl) instead of a one-hot O(N*ppl^2).
     pos = jnp.arange(ppl, dtype=jnp.int32)[None, :]
-    up_pos = ayp[:, None] + i           # [N, ppl]
-    down_pos = ayp[:, None] - 1 - i
 
-    def scatter_rows(xvals, valid, positions):
-        # one-hot matmul-free scatter: for each output pos, pick the matching i
-        onehot = (positions[:, :, None] == pos[:, None, :]) & valid[:, :, None]
-        return (jnp.sum(jnp.where(onehot, xvals[:, :, None], 0.0), axis=1),
-                jnp.any(onehot, axis=1))
+    def gather_rows(xvals, valid, idx):
+        ok = (idx >= 0) & (idx < ppl)
+        idx_c = jnp.clip(idx, 0, ppl - 1)
+        vals = jnp.take_along_axis(xvals, idx_c, axis=1)
+        vmask = jnp.take_along_axis(valid, idx_c, axis=1) & ok
+        return vals, vmask
 
-    xs_up, m_up = scatter_rows(up_x, up_valid, up_pos)
-    xs_down, m_down = scatter_rows(down_x, down_valid, down_pos)
+    xs_up, m_up = gather_rows(up_x, up_valid, pos - ayp[:, None])
+    xs_down, m_down = gather_rows(down_x, down_valid, ayp[:, None] - 1 - pos)
     xs = jnp.where(m_up, xs_up, xs_down)
     mask = (m_up | m_down) & exists[:, None]
 
@@ -338,14 +340,14 @@ def lane_pairwise_distance(lanes: DecodedLanes, use_mean_dist: bool = False
     if use_mean_dist:
         dist = mean_d
     else:
+        l = lanes.xs.shape[0]
+        rows_i = jnp.arange(l, dtype=jnp.int32)[:, None]
+        rows_j = jnp.arange(l, dtype=jnp.int32)[None, :]
+
         def endpoint(idx):
-            # dx at a shared row index for every pair
-            xi = jnp.take_along_axis(
-                jnp.broadcast_to(lanes.xs[:, None, :], dx.shape),
-                idx[:, :, None], axis=-1)[:, :, 0]
-            xj = jnp.take_along_axis(
-                jnp.broadcast_to(lanes.xs[None, :, :], dx.shape),
-                idx[:, :, None], axis=-1)[:, :, 0]
+            # |x_i[idx] - x_j[idx]| per pair via small [L, L] gathers
+            xi = lanes.xs[rows_i, idx]
+            xj = lanes.xs[rows_j, idx]
             return jnp.abs(xi - xj)
 
         d_start = endpoint(jnp.clip(max_start, 0, ppl - 1))
@@ -378,15 +380,22 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
     later = jnp.triu(jnp.ones((k, k), bool), 1)
     suppress_pair = suppress_pair & later
 
-    def body(i, state):
-        keep, suppressed = state
+    # candidates are prob-sorted with invalid last: scan only the valid prefix
+    num_valid = jnp.sum(cand.valid.astype(jnp.int32))
+
+    def cond(state):
+        i, _, _ = state
+        return i < num_valid
+
+    def body(state):
+        i, keep, suppressed = state
         is_kept = cand.valid[i] & ~suppressed[i]
         keep = keep.at[i].set(is_kept)
         suppressed = suppressed | (is_kept & suppress_pair[i])
-        return keep, suppressed
+        return i + 1, keep, suppressed
 
-    keep, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros(k, bool), jnp.zeros(k, bool)))
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros(k, bool), jnp.zeros(k, bool)))
 
     order = jnp.argsort(~keep, stable=True)[:max_lanes]
     sel = lambda a: a[order]

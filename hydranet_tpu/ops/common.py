@@ -21,7 +21,7 @@ so golden-parity tests against the torch implementation pass:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +84,7 @@ class SamePadConv(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -98,6 +99,7 @@ class SamePadConv(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             kernel_init=conv_kaiming_init(),
+            bias_init=self.bias_init,
             dtype=self.dtype,
             name="conv",
         )
@@ -112,6 +114,7 @@ class SeparableConvBlock(nn.Module):
     norm: bool = True
     activation: bool = False
     dtype: Optional[jnp.dtype] = None
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,7 +122,8 @@ class SeparableConvBlock(nn.Module):
         x = SamePadConv(features=in_ch, kernel_size=3, stride=1, groups=in_ch,
                         use_bias=False, dtype=self.dtype, name="depthwise_conv")(x)
         x = SamePadConv(features=self.features, kernel_size=1, stride=1,
-                        use_bias=True, dtype=self.dtype, name="pointwise_conv")(x)
+                        use_bias=True, dtype=self.dtype,
+                        bias_init=self.bias_init, name="pointwise_conv")(x)
         if self.norm:
             x = TorchBatchNorm(momentum=0.01, epsilon=1e-3, dtype=self.dtype,
                                name="norm")(x, train=train)

@@ -287,6 +287,16 @@ class HydraTrainer:
             print(f"====================== metric detection {epoch} "
                   f"======================")
             if detect_result:
+                # persist predictions like the reference's
+                # eval_detect/val_bbox_results.json (train.py:420-424)
+                eval_dir = os.path.join(self.root_dir, "eval_detect")
+                try:
+                    os.makedirs(eval_dir, exist_ok=True)
+                    with open(os.path.join(eval_dir,
+                                           "val_bbox_results.json"), "w") as f:
+                        json.dump(detect_result, f, indent=4)
+                except OSError:
+                    pass
                 self.coco_eval.reset()
                 self.coco_eval.update(detect_result)
                 summary.update(self.coco_eval.summarize())
