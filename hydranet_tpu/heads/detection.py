@@ -243,6 +243,7 @@ def postprocess(
     iou_threshold: float = 0.3,
     pre_nms_top_k: int = 1000,
     max_detections: int = 100,
+    use_approx_top_k: bool = False,
 ) -> Detections:
     """On-device equivalent of reference postprocess (detection_loss.py:70-108):
     per-anchor max-class score -> threshold -> per-image class-aware NMS.
@@ -260,7 +261,14 @@ def postprocess(
     def per_image(boxes, cls):
         scores = jnp.max(cls, axis=-1)
         classes = jnp.argmax(cls, axis=-1).astype(jnp.int32)
-        top_scores, idx = jax.lax.top_k(scores, pre_nms_top_k)
+        if use_approx_top_k:
+            # TPU-optimized partial-reduce top-k (~3.5x faster than the exact
+            # sort over all anchors at this size, recall ~0.95). Off by
+            # default: exact selection preserves bit-parity with the
+            # reference postprocess.
+            top_scores, idx = jax.lax.approx_max_k(scores, pre_nms_top_k)
+        else:
+            top_scores, idx = jax.lax.top_k(scores, pre_nms_top_k)
         top_boxes = boxes[idx]
         top_classes = classes[idx]
         valid = top_scores > score_threshold
