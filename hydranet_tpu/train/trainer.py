@@ -193,13 +193,25 @@ class HydraTrainer:
 
     # ------------------------------------------------------------------ train
 
+    def _device_prefetch(self, loader):
+        """Stage batch k+1 on device while step k runs (JAX dispatch is
+        async, so device_put overlaps with the in-flight train step)."""
+        it = iter(loader)
+        prev = None
+        for batch in it:
+            staged = self._device_batch(batch)
+            if prev is not None:
+                yield prev
+            prev = staged
+        if prev is not None:
+            yield prev
+
     def train_one_epoch(self, epoch: int):
         mask, phase = self._phase_mask(epoch)
         print(f"======= EPOCH {epoch} {phase} TRAINING =======")
         n = len(self.trainloader)
-        for it, batch in enumerate(self.trainloader):
-            self.state, losses = self.train_step(
-                self.state, self._device_batch(batch), mask)
+        for it, batch in enumerate(self._device_prefetch(self.trainloader)):
+            self.state, losses = self.train_step(self.state, batch, mask)
             if it % self.print_interval == 0:
                 # divergence guard — equivalent of the reference's
                 # non-finite-loss aborts (model.py:212-258), checked at print
