@@ -55,6 +55,10 @@ class DataloaderCfg:
     with_aug: bool = True
     do_split: bool = False
     do_flip: bool = False
+    # hydranet_tpu extension (train-time only, default off): decode JPEGs at
+    # reduced resolution via libjpeg DCT scaling when the source is >=2x the
+    # network input — ~3x faster decode; labels are rescaled to match.
+    fast_decode: bool = False
 
 
 @dataclass(frozen=True)

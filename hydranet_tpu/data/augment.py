@@ -82,13 +82,17 @@ def _crop_keep_size(top: float, right: float, bottom: float, left: float,
     return scale @ _translate(-x0, -y0)
 
 
-def _apply_color(image: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """One randomly chosen color op — dataloader.py:57-68."""
+def _apply_color(image: np.ndarray, rng: np.random.RandomState,
+                 sigma_scale: float = 1.0) -> np.ndarray:
+    """One randomly chosen color op — dataloader.py:57-68.
+
+    sigma_scale rescales the blur sigma when the op runs at a different
+    resolution than the original frame (fused warp+resize fast path)."""
     choice = rng.randint(7)
     img = image
     if choice == 0:
-        sigma = rng.uniform(0.5, 1.5)
-        img = cv2.GaussianBlur(img, (0, 0), sigma)
+        sigma = rng.uniform(0.5, 1.5) * sigma_scale
+        img = cv2.GaussianBlur(img, (0, 0), max(sigma, 0.01))
     elif choice == 1:
         img = np.clip(127.5 + 1.5 * (img.astype(np.float32) - 127.5),
                       0, 255).astype(np.uint8)
@@ -196,14 +200,25 @@ def augment_sample(
     do_flip: bool = False,
     do_split: bool = False,
     split_ratio: Optional[float] = None,
+    image_out_wh: Optional[Tuple[int, int]] = None,
 ) -> Dict:
     """Jointly augment image + all labels — reference _lane_argue
-    (dataloader.py:44-162)."""
+    (dataloader.py:44-162).
+
+    If `image_out_wh=(ow, oh)` is given and a geometric op fires, the
+    net-input resize is FUSED into the warp: the image/seg warp straight to
+    (ow, oh) (warp cost scales with the output size, so this replaces a
+    full-res warp + separate resize with one small warp) and the color op
+    runs at net resolution with a scale-adjusted blur sigma. Label
+    transforms stay in ORIGINAL-image coordinates either way, so the
+    downstream lane-encode / det-rescale contracts are unchanged. When no
+    geometric op fires the image is returned untouched (the caller's
+    INTER_AREA resize path keeps reference semantics).
+    """
     rng = rng or np.random.RandomState()
     h, w = image.shape[:2]
 
-    if rng.rand() < 0.6:
-        image = _apply_color(image, rng)
+    do_color = rng.rand() < 0.6
 
     m = _affine_identity()
     if do_split and split_ratio is not None and rng.rand() < 0.6:
@@ -212,11 +227,22 @@ def augment_sample(
         m = _compose(m, _geometry_matrix(w, h, rng, do_flip, do_split,
                                          split_ratio))
 
+    sigma_scale = 1.0
     if not np.allclose(m, _affine_identity()):
-        m23 = m[:2]
-        image = cv2.warpAffine(image, m23, (w, h), flags=cv2.INTER_LINEAR)
+        if image_out_wh is not None:
+            ow, oh = image_out_wh
+            scale = _affine_identity()
+            scale[0, 0] = ow / float(w)
+            scale[1, 1] = oh / float(h)
+            m23 = (scale @ m)[:2]
+            out_wh = (ow, oh)
+            sigma_scale = (ow / float(w) + oh / float(h)) / 2.0
+        else:
+            m23 = m[:2]
+            out_wh = (w, h)
+        image = cv2.warpAffine(image, m23, out_wh, flags=cv2.INTER_LINEAR)
         if seg_label is not None:
-            seg_label = cv2.warpAffine(seg_label, m23, (w, h),
+            seg_label = cv2.warpAffine(seg_label, m23, out_wh,
                                        flags=cv2.INTER_NEAREST)
 
         def tx_points(pts):  # [N, 2]
@@ -246,6 +272,9 @@ def augment_sample(
                     boxes.append([nx1, ny1, nx2, ny2, cls])
             det_label = (np.array(boxes) if boxes
                          else np.zeros((0, 5)))
+
+    if do_color:
+        image = _apply_color(image, rng, sigma_scale)
 
     return dict(image=image, lane_label=lane_label, det_label=det_label,
                 seg_label=seg_label)

@@ -33,6 +33,7 @@ class MultitaskDataset:
         self.with_aug = dl.with_aug and mode == "train"
         self.do_split = dl.do_split
         self.do_flip = dl.do_flip
+        self.fast_decode = getattr(dl, "fast_decode", False) and mode == "train"
 
         self.train_detect = cfg.train.train_detect
         self.train_seg = cfg.train.train_seg
@@ -89,8 +90,23 @@ class MultitaskDataset:
         return np.array(rows, dtype=np.float64).reshape(-1, 5)
 
     def __getitem__(self, idx: int) -> Dict:
+        return self.get(idx, self.rng)
+
+    def get(self, idx: int, rng: np.random.RandomState) -> Dict:
+        """Fetch one sample using an explicit augmentation RNG.
+
+        The DataLoader derives `rng` deterministically from
+        (loader seed, epoch, dataset index), so a sample's augmentation is
+        identical no matter which worker process produces it (unlike torch's
+        per-worker base_seed scheme, where results change with num_workers).
+        """
         pair = self.pairs[idx]
-        image = utility.imread(pair["image_path"])
+        if self.fast_decode:
+            image, (sx, sy) = utility.imread_reduced(
+                pair["image_path"], self.input_w, self.input_h)
+        else:
+            image = utility.imread(pair["image_path"])
+            sx = sy = 1.0
         whc = utility.get_img_whc(image)
 
         lane_label = None
@@ -98,16 +114,28 @@ class MultitaskDataset:
         if self.train_lane:
             annot_lane_path = pair["annot_path_lane"]
             lane_label = self.parse_own_label(utility.load_json(annot_lane_path))
+            if sx != 1.0 or sy != 1.0:
+                lane_label = {
+                    "Lines": [[{"x": p["x"] * sx, "y": p["y"] * sy}
+                               for p in line]
+                              for line in lane_label["Lines"]],
+                    "Labels": lane_label["Labels"]}
 
         seg_label = None
         if self.train_seg:
             seg_label = cv2.imread(pair["annot_path_seg"], cv2.IMREAD_UNCHANGED)
             if seg_label is not None and seg_label.ndim == 3:
                 seg_label = seg_label[:, :, 0]
+            if seg_label is not None and seg_label.shape[:2] != image.shape[:2]:
+                seg_label = cv2.resize(
+                    seg_label, (image.shape[1], image.shape[0]),
+                    interpolation=cv2.INTER_NEAREST)
 
         obj_label = None
         if self.train_detect:
             obj_label = self.load_detect_annot(pair["annot_path_detect"])
+            if (sx != 1.0 or sy != 1.0) and len(obj_label):
+                obj_label[:, :4] *= np.array([sx, sy, sx, sy])
 
         if self.with_aug:
             if self.do_split:
@@ -117,8 +145,9 @@ class MultitaskDataset:
                 do_split, ratio = False, None
             aug = augment_sample(
                 image, lane_label=lane_label, det_label=obj_label,
-                seg_label=seg_label, rng=self.rng, do_flip=self.do_flip,
-                do_split=do_split, split_ratio=ratio)
+                seg_label=seg_label, rng=rng, do_flip=self.do_flip,
+                do_split=do_split, split_ratio=ratio,
+                image_out_wh=(self.input_w, self.input_h))
             image = aug["image"]
             lane_label = aug["lane_label"] if self.train_lane else None
             seg_label = aug["seg_label"] if self.train_seg else None
@@ -134,9 +163,10 @@ class MultitaskDataset:
                 encode_loc[:, ppl + 2: 2 * ppl + 2] /= self.lane_coder.interval
                 encode_loc[:, :ppl] /= self.lane_coder.interval
 
-        net_img = utility.bgr2rgb(utility.resize_by_wh(
-            image, width=self.input_w, height=self.input_h))
-        net_img = utility.imagenet_normalize(net_img)  # HWC float32
+        if image.shape[:2] != (self.input_h, self.input_w):
+            image = utility.resize_by_wh(
+                image, width=self.input_w, height=self.input_h)
+        net_img = utility.imagenet_normalize(utility.bgr2rgb(image))
 
         return dict(
             image=net_img.astype(np.float32),

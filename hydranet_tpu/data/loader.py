@@ -1,17 +1,36 @@
-"""Batch collation + a simple prefetching loader (TPU-native equivalent of
-the reference Collater + torch DataLoader usage, dataloader.py:544-633 and
-train.py:66-84).
+"""Batch collation + a multi-process prefetching loader (TPU-native
+equivalent of the reference Collater + torch DataLoader usage,
+dataloader.py:544-633 and train.py:66-84).
 
-Key TPU-first difference: detection annotations are padded to a FIXED
-`max_annotations` (the reference pads to the per-batch max, which would
-trigger an XLA recompile per unique count). Batches are NHWC numpy arrays
-ready for device put.
+Key TPU-first differences from the reference:
+
+- Detection annotations are padded to a FIXED `max_annotations` (the
+  reference pads to the per-batch max, which would trigger an XLA recompile
+  per unique count).
+- `num_workers > 0` spawns a persistent pool of forked worker processes
+  (equivalent of `DataLoader(num_workers=...)`, train.py:67-84), each doing
+  the full per-sample pipeline (imread + augment + lane encode) AND the
+  batch collation, so the parent process only moves ready batches.
+- Augmentation randomness is derived per (seed, epoch, dataset index) via
+  `np.random.SeedSequence`, NOT per worker — batches are bit-identical for
+  any worker count, which torch's base_seed+worker_id scheme cannot give.
+- Large arrays cross the process boundary through POSIX shared memory
+  (one memcpy each side) instead of being pickled through a pipe; at
+  640x640x3 float32 a bs32 batch is ~157 MB, far too big for pipe IPC.
+
+Batches are NHWC numpy arrays ready for device put.
 """
 
 from __future__ import annotations
 
+import atexit
+import multiprocessing as mp
+import os
 import queue
 import threading
+import traceback
+import weakref
+from multiprocessing import shared_memory
 from typing import Dict, Iterator, List, Optional
 
 import cv2
@@ -19,6 +38,9 @@ import numpy as np
 
 from hydranet_tpu.config import Config
 from hydranet_tpu.data.dataset import MultitaskDataset
+
+# Arrays at least this big ride shared memory instead of the result pipe.
+_SHM_THRESHOLD_BYTES = 1 << 20
 
 
 class Collater:
@@ -49,8 +71,11 @@ class Collater:
             # (the reference passes INTER_NEAREST positionally as `dst`,
             # dataloader.py:578 — an upstream bug; we pass it correctly).
             out["gt_seg"] = np.stack([
-                cv2.resize(b["gt_seg"], (self.target_width, self.target_height),
-                           interpolation=cv2.INTER_NEAREST)
+                b["gt_seg"]
+                if b["gt_seg"].shape == (self.target_height, self.target_width)
+                else cv2.resize(b["gt_seg"],
+                                (self.target_width, self.target_height),
+                                interpolation=cv2.INTER_NEAREST)
                 for b in batch])
 
         if self.is_det:
@@ -69,23 +94,161 @@ class Collater:
         return out
 
 
+def _sample_rng(seed: int, epoch: int, ds_idx: int) -> np.random.RandomState:
+    """Deterministic per-sample RNG, independent of worker assignment."""
+    ss = np.random.SeedSequence([int(seed), int(epoch), int(ds_idx)])
+    return np.random.RandomState(ss.generate_state(1)[0])
+
+
+# ---------------------------------------------------------------------------
+# Shared-memory transport: worker encodes big ndarrays into shm segments,
+# parent decodes them zero-copy and unlinks; a finalizer closes the mapping
+# when the batch array is garbage-collected.
+# ---------------------------------------------------------------------------
+
+def _shm_encode(batch: Dict) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.nbytes >= _SHM_THRESHOLD_BYTES:
+            shm = shared_memory.SharedMemory(create=True, size=v.nbytes)
+            dst = np.ndarray(v.shape, dtype=v.dtype, buffer=shm.buf)
+            np.copyto(dst, v)
+            name = shm.name
+            # The worker hands ownership to the parent: drop this process's
+            # mapping and tell its resource tracker to forget the segment so
+            # it is not unlinked again when the worker exits.
+            shm.close()
+            try:
+                from multiprocessing import resource_tracker
+                resource_tracker.unregister("/" + name.lstrip("/"),
+                                            "shared_memory")
+            except Exception:
+                pass
+            out[k] = ("__shm__", name, v.shape, str(v.dtype))
+        else:
+            out[k] = v
+    return out
+
+
+def _shm_decode(batch: Dict) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, tuple) and len(v) == 4 and v[0] == "__shm__":
+            _, name, shape, dtype = v
+            shm = shared_memory.SharedMemory(name=name)
+            arr = np.ndarray(shape, dtype=np.dtype(dtype), buffer=shm.buf)
+            # Unlink now (POSIX keeps the pages alive while mapped); close
+            # the mapping when the array dies.
+            try:
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+            weakref.finalize(arr, shm.close)
+            out[k] = arr
+        else:
+            out[k] = v
+    return out
+
+
+def _worker_loop(dataset: MultitaskDataset, collate: Collater, seed: int,
+                 task_q, result_q) -> None:
+    # Workers each run the cv2 pipeline single-threaded; parallelism comes
+    # from the pool itself (same as torch's worker init).
+    cv2.setNumThreads(0)
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        batch_id, epoch, chunk = task
+        try:
+            samples = [dataset.get(i, _sample_rng(seed, epoch, i))
+                       for i in chunk]
+            payload = _shm_encode(collate(samples))
+            result_q.put((batch_id, payload, None))
+        except BaseException:
+            result_q.put((batch_id, None, traceback.format_exc()))
+
+
 class DataLoader:
-    """Shuffling, batching, optional background-thread prefetch."""
+    """Shuffling, batching loader with a multi-process worker pool.
+
+    num_workers = 0 → samples are produced inline (optionally prefetched on
+    one background thread, `num_prefetch`); num_workers > 0 → a persistent
+    pool of forked processes builds whole collated batches, `prefetch_factor`
+    batches in flight per worker. Either path yields identical batches for a
+    fixed seed.
+    """
 
     def __init__(self, dataset: MultitaskDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
-                 max_annotations: int = 64, num_prefetch: int = 2,
+                 max_annotations: int = 64, num_workers: int = 0,
+                 prefetch_factor: int = 2, num_prefetch: int = 2,
                  seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_workers = max(0, int(num_workers))
+        self.prefetch_factor = max(1, int(prefetch_factor))
         self.num_prefetch = num_prefetch
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         self.collate = Collater(
             target_width=dataset.input_w, target_height=dataset.input_h,
             is_lane=dataset.train_lane, is_det=dataset.train_detect,
             is_seg=dataset.train_seg, max_annotations=max_annotations)
+        self._pool: Optional[List] = None
+        self._task_q = None
+        self._result_q = None
+        if self.num_workers > 0:
+            # Fork eagerly, before the caller initialises heavy device state.
+            self._start_pool()
+
+    # -- worker pool ------------------------------------------------------
+
+    def _start_pool(self) -> None:
+        ctx = mp.get_context("fork")
+        self._task_q = ctx.SimpleQueue()
+        self._result_q = ctx.SimpleQueue()
+        self._pool = []
+        for _ in range(self.num_workers):
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self.dataset, self.collate, self.seed,
+                      self._task_q, self._result_q),
+                daemon=True)
+            p.start()
+            self._pool.append(p)
+        atexit.register(DataLoader._shutdown_weak, weakref.ref(self))
+
+    @staticmethod
+    def _shutdown_weak(ref) -> None:
+        self = ref()
+        if self is not None:
+            self.shutdown()
+
+    def shutdown(self) -> None:
+        """Stop the worker pool (idempotent)."""
+        if not self._pool:
+            return
+        for _ in self._pool:
+            try:
+                self._task_q.put(None)
+            except Exception:
+                pass
+        for p in self._pool:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._pool = None
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    # -- iteration --------------------------------------------------------
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -93,29 +256,43 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches(self) -> Iterator[List[int]]:
+    def _batches(self, epoch: int) -> Iterator[List[int]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            # Epoch-keyed shuffle: reproducible regardless of worker count.
+            np.random.RandomState(
+                np.random.SeedSequence([self.seed, epoch]).generate_state(1)[0]
+            ).shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield list(chunk)
+            yield [int(j) for j in chunk]
 
     def __iter__(self) -> Iterator[Dict]:
-        if self.num_prefetch <= 0:
-            for chunk in self._batches():
-                yield self.collate([self.dataset[i] for i in chunk])
-            return
+        epoch = self.epoch
+        self.epoch += 1
+        if self.num_workers > 0:
+            yield from self._iter_pool(epoch)
+        elif self.num_prefetch > 0:
+            yield from self._iter_thread(epoch)
+        else:
+            for chunk in self._batches(epoch):
+                samples = [self.dataset.get(i, _sample_rng(self.seed, epoch, i))
+                           for i in chunk]
+                yield self.collate(samples)
 
+    def _iter_thread(self, epoch: int) -> Iterator[Dict]:
         q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
         sentinel = object()
 
         def worker():
             try:
-                for chunk in self._batches():
-                    q.put(self.collate([self.dataset[i] for i in chunk]))
+                for chunk in self._batches(epoch):
+                    samples = [
+                        self.dataset.get(i, _sample_rng(self.seed, epoch, i))
+                        for i in chunk]
+                    q.put(self.collate(samples))
             finally:
                 q.put(sentinel)
 
@@ -126,3 +303,56 @@ class DataLoader:
             if item is sentinel:
                 break
             yield item
+
+    def _iter_pool(self, epoch: int) -> Iterator[Dict]:
+        if not self._pool:
+            self._start_pool()
+        batches = self._batches(epoch)
+        in_flight = 0
+        next_submit = 0
+        next_yield = 0
+        done_submitting = False
+        stash: Dict[int, Dict] = {}
+        max_in_flight = self.num_workers * self.prefetch_factor
+
+        def submit_up_to_limit():
+            nonlocal in_flight, next_submit, done_submitting
+            while not done_submitting and in_flight < max_in_flight:
+                chunk = next(batches, None)
+                if chunk is None:
+                    done_submitting = True
+                    return
+                self._task_q.put((next_submit, epoch, chunk))
+                next_submit += 1
+                in_flight += 1
+
+        submit_up_to_limit()
+        while in_flight > 0 or next_yield in stash:
+            while next_yield in stash:
+                payload = stash.pop(next_yield)
+                next_yield += 1
+                yield payload
+            if in_flight == 0:
+                break
+            batch_id, payload, err = self._result_q.get()
+            in_flight -= 1
+            if err is not None:
+                self.shutdown()
+                raise RuntimeError(f"DataLoader worker failed:\n{err}")
+            stash[batch_id] = _shm_decode(payload)
+            submit_up_to_limit()
+
+
+def make_loader(cfg: Config, dataset: MultitaskDataset, *, train: bool,
+                max_annotations: int = 64) -> DataLoader:
+    """Build the train/valid loader from config, honouring
+    num_worker_train/num_worker_valid (reference train.py:67-84)."""
+    if train:
+        return DataLoader(dataset, batch_size=cfg.train.batch_size_train,
+                          shuffle=True,
+                          num_workers=cfg.train.num_worker_train,
+                          max_annotations=max_annotations)
+    return DataLoader(dataset, batch_size=cfg.train.batch_size_valid,
+                      shuffle=False,
+                      num_workers=cfg.train.num_worker_valid,
+                      max_annotations=max_annotations)

@@ -27,6 +27,34 @@ def imread(img_path: str) -> np.ndarray:
     return img
 
 
+def imread_reduced(img_path: str, min_w: int, min_h: int):
+    """Read a BGR image, decoding JPEGs at half resolution via libjpeg DCT
+    scaling (IMREAD_REDUCED_COLOR_2, ~3x faster) when the source is at
+    least (2*min_w, 2*min_h). Returns (image, (scale_x, scale_y)) where the
+    scales map ORIGINAL coordinates to the returned image's coordinates.
+
+    Train-time fast path only; falls back to a full decode otherwise."""
+    img_path = os.path.normpath(os.path.abspath(os.path.expanduser(img_path)))
+    if not os.path.exists(img_path):
+        raise FileNotFoundError(img_path)
+    if img_path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from PIL import Image  # header-only size read, no decode
+            with Image.open(img_path) as im:
+                ow, oh = im.size
+        except Exception:
+            ow = oh = 0
+        if ow >= 2 * min_w and oh >= 2 * min_h:
+            img = cv2.imread(img_path, cv2.IMREAD_REDUCED_COLOR_2)
+            if img is not None:
+                h, w = img.shape[:2]
+                return img, (w / float(ow), h / float(oh))
+    img = cv2.imread(img_path)
+    if img is None:
+        raise IOError(img_path)
+    return img, (1.0, 1.0)
+
+
 def get_img_whc(img: np.ndarray) -> Dict[str, int]:
     """Image {width, height, channel} — utility.py:157-173."""
     if img.ndim == 2:
@@ -49,9 +77,15 @@ def resize_by_wh(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def imagenet_normalize(img: np.ndarray) -> np.ndarray:
-    """RGB uint8 -> normalized float32 — utility.py:213-227."""
-    img = img.astype(np.float32) / 255.0
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    """RGB uint8 -> normalized float32 — utility.py:213-227.
+
+    In-place arithmetic on one float32 buffer (same values as the naive
+    `(x/255 - mean)/std`, ~2x fewer full-frame passes)."""
+    img = img.astype(np.float32)
+    img /= 255.0
+    img -= IMAGENET_MEAN
+    img /= IMAGENET_STD
+    return img
 
 
 def imagenet_denormalize(img: np.ndarray) -> np.ndarray:

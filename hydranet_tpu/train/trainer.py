@@ -66,14 +66,15 @@ class HydraTrainer:
         # data — train.py:66-84
         self.train_data = MultitaskDataset(cfg, mode="train")
         self.valid_data = MultitaskDataset(cfg, mode="val")
+        # num_worker_* > 0 → persistent forked worker pool doing the full
+        # per-sample pipeline + collation off the main process
+        # (reference train.py:67-84 DataLoader(num_workers=...)).
         self.trainloader = DataLoader(
             self.train_data, batch_size=cfg.train.batch_size_train,
-            shuffle=True,
-            num_prefetch=max(2, cfg.train.num_worker_train))
+            shuffle=True, num_workers=cfg.train.num_worker_train)
         self.validloader = DataLoader(
             self.valid_data, batch_size=cfg.train.batch_size_valid,
-            shuffle=False,
-            num_prefetch=max(2, cfg.train.num_worker_valid))
+            shuffle=False, num_workers=cfg.train.num_worker_valid)
 
         # mesh + model — the DP mesh replaces DDP (train.py:129-137)
         self.mesh = make_mesh() if use_mesh else None
