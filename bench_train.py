@@ -2,28 +2,61 @@
 3-head loss + backward on the shared backbone).
 
 One jitted program per step: forward (BN stat updates) + weighted multitask
-loss + backward + Adam update, bf16 compute / f32 params, batch 8 at 640x640.
-Prints one JSON line (supplementary to bench.py; the driver metric is the
-inference pipeline).
+loss + backward + Adam update, bf16 compute / f32 params at 640x640. Prints
+one JSON line (supplementary to bench.py; the driver metric is the inference
+pipeline).
+
+Default: single run at BENCH_TRAIN_BATCH (best measured config, see README
+scaling table). Sweep mode (`--sweep` or BENCH_TRAIN_SWEEP=1): batch
+{8,16,32,64} x remat {off,on}; reports samples/s, step ms, peak HBM (when the
+backend exposes memory_stats) and achieved model TF/s per cell.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
 
 
-def main():
+def make_batch(cfg, batch_size, h, w):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch_size, h, w, 3).astype(np.float32))
+    n_anchor = (h // 32) * (w // 32)
+    ppl = cfg.lane_points_per_line
+    ann = -np.ones((batch_size, 32, 5), np.float32)
+    ann[:, 0] = [50, 50, 200, 260, 1]
+    ann[:, 1] = [300, 300, 420, 500, 4]
+    gt_cls = np.zeros((batch_size, n_anchor, 2), np.float32)
+    fg = rng.rand(batch_size, n_anchor) > 0.9
+    gt_cls[..., 1] = fg
+    gt_cls[..., 0] = ~fg
+    return {
+        "image": x,
+        "gt_seg": jnp.asarray(
+            rng.randint(0, cfg.segment.num_classes, (batch_size, h, w))),
+        "gt_det": jnp.asarray(ann),
+        "gt_cls": jnp.asarray(gt_cls),
+        "gt_loc": jnp.asarray(
+            (rng.randn(batch_size, n_anchor, 2 * ppl + 2)
+             * (rng.rand(batch_size, n_anchor, 2 * ppl + 2) > 0.5))
+            .astype(np.float32)),
+    }
+
+
+def run_cell(batch_size: int, remat: bool, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from hydranet_tpu.config import load_config
+    from hydranet_tpu.config import load_config, Config
     from hydranet_tpu.models.hydranet import HydraNet
     from hydranet_tpu.parallel.train_step import (
         TrainState, all_trainable, make_train_step)
@@ -32,11 +65,16 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(repo,
                                    "configs/hydranet_joint_big_backbone.yml"))
+    if remat:
+        d = cfg.to_dict()
+        d["backbone"]["remat"] = True
+        cfg = Config.from_dict(d)
+
     model = HydraNet(cfg=cfg, dtype=jnp.bfloat16)
     h, w = cfg.input_hw
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(BATCH, h, w, 3).astype(np.float32))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    batch = make_batch(cfg, batch_size, h, w)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch["image"][:1])
 
     tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay, 10000)
     state = TrainState(params=variables["params"],
@@ -45,48 +83,72 @@ def main():
                        step=jnp.zeros((), jnp.int32))
     mask = all_trainable(state.params)
 
-    n_anchor = (h // 32) * (w // 32)
-    ppl = cfg.lane_points_per_line
-    ann = -np.ones((BATCH, 32, 5), np.float32)
-    ann[:, 0] = [50, 50, 200, 260, 1]
-    ann[:, 1] = [300, 300, 420, 500, 4]
-    gt_cls = np.zeros((BATCH, n_anchor, 2), np.float32)
-    fg = rng.rand(BATCH, n_anchor) > 0.9
-    gt_cls[..., 1] = fg
-    gt_cls[..., 0] = ~fg
-    batch = {
-        "image": x,
-        "gt_seg": jnp.asarray(
-            rng.randint(0, cfg.segment.num_classes, (BATCH, h, w))),
-        "gt_det": jnp.asarray(ann),
-        "gt_cls": jnp.asarray(gt_cls),
-        "gt_loc": jnp.asarray(
-            (rng.randn(BATCH, n_anchor, 2 * ppl + 2)
-             * (rng.rand(BATCH, n_anchor, 2 * ppl + 2) > 0.5))
-            .astype(np.float32)),
-    }
-
     step = make_train_step(model, tx, mesh=None, donate=False)
 
-    # warmup (compile)
-    state, losses = step(state, batch, mask)
+    state, losses = step(state, batch, mask)  # compile
     _ = float(losses["total_loss"])
     state, losses = step(state, batch, mask)
     _ = float(losses["total_loss"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, losses = step(state, batch, mask)
     _ = float(losses["total_loss"])  # sync
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / iters
 
-    print(json.dumps({
-        "metric": (f"train step (3-head fwd+loss+bwd+Adam, bs{BATCH}, "
-                   "640x640, bf16 compute)"),
-        "value": round(BATCH / dt, 2),
-        "unit": "samples/sec/chip",
+    cell = {
+        "batch_size": batch_size,
+        "remat": remat,
+        "samples_per_s": round(batch_size / dt, 2),
         "step_ms": round(dt * 1000, 1),
-    }))
+    }
+    # model FLOPs from the compiled executable when the backend reports them
+    try:
+        lowered = jax.jit(
+            lambda s, b, m: step(s, b, m)).lower(state, batch, mask)
+        ca = lowered.compile().cost_analysis()
+        fl = (ca or {}).get("flops")
+        if fl:
+            cell["achieved_tf_s"] = round(fl / dt / 1e12, 1)
+    except Exception:
+        pass
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and "peak_bytes_in_use" in ms:
+            cell["peak_hbm_gb"] = round(ms["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    return cell
+
+
+def main():
+    sweep = "--sweep" in sys.argv or os.environ.get("BENCH_TRAIN_SWEEP") == "1"
+    if not sweep:
+        cell = run_cell(BATCH, remat=False, iters=ITERS)
+        print(json.dumps({
+            "metric": (f"train step (3-head fwd+loss+bwd+Adam, bs{BATCH}, "
+                       "640x640, bf16 compute)"),
+            "value": cell["samples_per_s"],
+            "unit": "samples/sec/chip",
+            **{k: v for k, v in cell.items() if k != "samples_per_s"},
+        }))
+        return
+
+    results = []
+    for bs in (8, 16, 32, 64):
+        for remat in (False, True):
+            try:
+                cell = run_cell(bs, remat, ITERS)
+            except Exception as e:  # OOM is a data point, not a crash
+                cell = {"batch_size": bs, "remat": remat,
+                        "error": type(e).__name__,
+                        "msg": str(e).splitlines()[0][:160]}
+            results.append(cell)
+            print(json.dumps(cell), flush=True)
+    ok = [c for c in results if "samples_per_s" in c]
+    if ok:
+        best = max(ok, key=lambda c: c["samples_per_s"])
+        print(json.dumps({"best": best}))
 
 
 if __name__ == "__main__":

@@ -198,12 +198,21 @@ def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
-                    valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+                    valid: jnp.ndarray, iou_threshold: float,
+                    max_keep: Optional[int] = None) -> jnp.ndarray:
     """Greedy NMS over score-descending-sorted boxes via one KxK IoU matrix
     and a masked suppression scan. Returns the keep mask (same order).
 
     Exactly reproduces torchvision greedy semantics while staying fixed-shape
     on device: invalid rows never suppress anyone and are never kept.
+
+    With `max_keep=M`, the loop runs exactly M FIXED iterations, each keeping
+    the next unsuppressed box (identical to full greedy truncated to its
+    first M kept boxes — what a `max_detections` consumer uses anyway). This
+    makes the cost independent of how many boxes pass the score threshold:
+    the visit-every-valid-box scan is O(num_valid) sequential steps, which
+    under vmap runs max-over-batch iterations (measured 800+ ms/batch128 at
+    ~1% anchors above threshold); the kept-box loop is O(M)=100.
     """
     k = boxes.shape[0]
     iou = _iou_matrix(boxes)
@@ -211,10 +220,32 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     # row i suppresses j only if j comes later (lower score).
     later = jnp.triu(jnp.ones((k, k), bool), 1)
     over = over & later
+    # Materialize the suppression matrix before entering the sequential loop:
+    # without the barrier XLA rematerializes the KxK IoU computation inside
+    # every loop iteration (measured 110 ms vs 12 ms for the whole
+    # postprocess at bs128).
+    over = jax.lax.optimization_barrier(over)
+
+    if max_keep is not None:
+        def body(_, state):
+            keep, avail = state
+            # rows are score-sorted, so the first available row is the next
+            # greedy pick
+            i = jnp.argmax(avail)
+            has = avail[i]
+            keep = keep.at[i].set(keep[i] | has)
+            row = jnp.where(has, over[i], False)
+            avail = (avail & ~row).at[i].set(False)
+            return keep, avail
+
+        keep, _ = jax.lax.fori_loop(
+            0, min(max_keep, k), body,
+            (jnp.zeros(k, bool), valid))
+        return keep
 
     # Rows are score-sorted with invalid entries last, so the scan only needs
     # to visit the valid prefix — a while_loop with a data-dependent trip
-    # count (no recompilation; typically tens of steps, not k).
+    # count (no recompilation).
     num_valid = jnp.sum(valid.astype(jnp.int32))
 
     def cond(state):
@@ -278,7 +309,8 @@ def postprocess(
         max_coord = jnp.max(jnp.where(valid[:, None], top_boxes, 0.0))
         offsets = top_classes.astype(top_boxes.dtype) * (max_coord + 1.0)
         keep = greedy_nms_mask(top_boxes + offsets[:, None], top_scores,
-                               valid, iou_threshold)
+                               valid, iou_threshold,
+                               max_keep=max_detections)
 
         # compact kept rows to the front, preserving score order
         order = jnp.argsort(~keep, stable=True)[:max_detections]

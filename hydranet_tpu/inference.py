@@ -41,13 +41,17 @@ def preprocess_images(images: jnp.ndarray, target_hw: Tuple[int, int],
     (bilinear resize with half-pixel centers, matching cv2 INTER_LINEAR used
     by demo.py:192; then the imagenet normalize of demo.py:26-40)."""
     b, h0, w0, _ = images.shape
-    x = images.astype(dtype) / 255.0
+    x = images.astype(dtype)
     if (h0, w0) != tuple(target_hw):
+        # resize FIRST (on 0..255 values) so the big source-resolution tensor
+        # is touched once; the /255 + imagenet normalize folds into a single
+        # per-channel affine on the small resized tensor (resize is linear,
+        # so this is exact up to float rounding). 14.5 -> 10.5 ms at bs128.
         x = jax.image.resize(x, (b, target_hw[0], target_hw[1], 3),
                              method="linear")
-    mean = jnp.asarray(IMAGENET_MEAN, dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype)
-    return (x - mean) / std
+    scale = 1.0 / (255.0 * jnp.asarray(IMAGENET_STD, dtype))
+    shift = jnp.asarray(IMAGENET_MEAN, dtype) / jnp.asarray(IMAGENET_STD, dtype)
+    return x * scale - shift
 
 
 class InferencePipeline:
@@ -89,7 +93,9 @@ class InferencePipeline:
                     score_threshold=det_conf_thres,
                     iou_threshold=det_iou_thres,
                     pre_nms_top_k=cfg_d.pre_nms_top_k,
-                    max_detections=cfg_d.max_detections)
+                    max_detections=cfg_d.max_detections,
+                    use_approx_top_k=getattr(cfg_d, "use_approx_top_k",
+                                             False))
             if cfg.train.train_lane:
                 def one(cls_i, loc_i):
                     lanes = lane_ops.decode_lanes(
