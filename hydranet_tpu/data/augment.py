@@ -229,52 +229,78 @@ def augment_sample(
 
     sigma_scale = 1.0
     if not np.allclose(m, _affine_identity()):
+        out = apply_geometry(image, m, lane_label=lane_label,
+                             det_label=det_label, seg_label=seg_label,
+                             image_out_wh=image_out_wh)
+        image, lane_label = out["image"], out["lane_label"]
+        det_label, seg_label = out["det_label"], out["seg_label"]
         if image_out_wh is not None:
-            ow, oh = image_out_wh
-            scale = _affine_identity()
-            scale[0, 0] = ow / float(w)
-            scale[1, 1] = oh / float(h)
-            m23 = (scale @ m)[:2]
-            out_wh = (ow, oh)
-            sigma_scale = (ow / float(w) + oh / float(h)) / 2.0
-        else:
-            m23 = m[:2]
-            out_wh = (w, h)
-        image = cv2.warpAffine(image, m23, out_wh, flags=cv2.INTER_LINEAR)
-        if seg_label is not None:
-            seg_label = cv2.warpAffine(seg_label, m23, out_wh,
-                                       flags=cv2.INTER_NEAREST)
-
-        def tx_points(pts):  # [N, 2]
-            pts = np.asarray(pts, dtype=np.float64)
-            return pts @ m[:2, :2].T + m[:2, 2]
-
-        if lane_label is not None:
-            lines = []
-            for line in lane_label["Lines"]:
-                pts = tx_points([[float(p["x"]), float(p["y"])] for p in line])
-                # reference casts augmented lane points to int
-                # (dataloader.py:142)
-                lines.append([dict(x=float(int(px)), y=float(int(py)))
-                              for px, py in pts])
-            lane_label = dict(Lines=lines, Labels=None)
-
-        if det_label is not None and len(det_label):
-            boxes = []
-            for x1, y1, x2, y2, cls in det_label:
-                corners = tx_points([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
-                nx1, ny1 = corners.min(axis=0)
-                nx2, ny2 = corners.max(axis=0)
-                # clip_out_of_image semantics (dataloader.py:150-154)
-                nx1, nx2 = np.clip([nx1, nx2], 0, w)
-                ny1, ny2 = np.clip([ny1, ny2], 0, h)
-                if nx2 - nx1 >= 1 and ny2 - ny1 >= 1:
-                    boxes.append([nx1, ny1, nx2, ny2, cls])
-            det_label = (np.array(boxes) if boxes
-                         else np.zeros((0, 5)))
+            sigma_scale = (image_out_wh[0] / float(w)
+                           + image_out_wh[1] / float(h)) / 2.0
 
     if do_color:
         image = _apply_color(image, rng, sigma_scale)
+
+    return dict(image=image, lane_label=lane_label, det_label=det_label,
+                seg_label=seg_label)
+
+
+def apply_geometry(
+    image: np.ndarray,
+    m: np.ndarray,  # [3, 3] affine in ORIGINAL-image coordinates
+    lane_label: Optional[Dict] = None,
+    det_label: Optional[np.ndarray] = None,
+    seg_label: Optional[np.ndarray] = None,
+    image_out_wh: Optional[Tuple[int, int]] = None,
+) -> Dict:
+    """Apply one affine jointly to image (bilinear), seg mask (nearest), lane
+    polylines, and det boxes (corner transform -> aabb -> clip) — the
+    augmentable semantics of the reference's imgaug pipeline. Labels stay in
+    original-image coordinates; `image_out_wh` fuses the net-input resize
+    into the image/seg warp (see augment_sample). Also used standalone by
+    scripts/augment_debug.py to render forced transforms."""
+    h, w = image.shape[:2]
+    if image_out_wh is not None:
+        ow, oh = image_out_wh
+        scale = _affine_identity()
+        scale[0, 0] = ow / float(w)
+        scale[1, 1] = oh / float(h)
+        m23 = (scale @ m)[:2]
+        out_wh = (ow, oh)
+    else:
+        m23 = m[:2]
+        out_wh = (w, h)
+    image = cv2.warpAffine(image, m23, out_wh, flags=cv2.INTER_LINEAR)
+    if seg_label is not None:
+        seg_label = cv2.warpAffine(seg_label, m23, out_wh,
+                                   flags=cv2.INTER_NEAREST)
+
+    def tx_points(pts):  # [N, 2]
+        pts = np.asarray(pts, dtype=np.float64)
+        return pts @ m[:2, :2].T + m[:2, 2]
+
+    if lane_label is not None:
+        lines = []
+        for line in lane_label["Lines"]:
+            pts = tx_points([[float(p["x"]), float(p["y"])] for p in line])
+            # reference casts augmented lane points to int (dataloader.py:142)
+            lines.append([dict(x=float(int(px)), y=float(int(py)))
+                          for px, py in pts])
+        lane_label = dict(Lines=lines, Labels=None)
+
+    if det_label is not None and len(det_label):
+        boxes = []
+        for x1, y1, x2, y2, cls in det_label:
+            corners = tx_points([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
+            nx1, ny1 = corners.min(axis=0)
+            nx2, ny2 = corners.max(axis=0)
+            # clip_out_of_image semantics (dataloader.py:150-154)
+            nx1, nx2 = np.clip([nx1, nx2], 0, w)
+            ny1, ny2 = np.clip([ny1, ny2], 0, h)
+            if nx2 - nx1 >= 1 and ny2 - ny1 >= 1:
+                boxes.append([nx1, ny1, nx2, ny2, cls])
+        det_label = (np.array(boxes) if boxes
+                     else np.zeros((0, 5)))
 
     return dict(image=image, lane_label=lane_label, det_label=det_label,
                 seg_label=seg_label)

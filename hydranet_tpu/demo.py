@@ -83,19 +83,24 @@ def main(argv=None):
 
     if args.images:
         names = sorted(os.listdir(args.images))
-        pipe = None
+        # one compiled pipeline per source resolution (folders can mix sizes;
+        # the reference demo also recompiles nothing but crashes on none —
+        # each XLA program has a fixed input shape)
+        pipes: Dict[Any, InferencePipeline] = {}
         for name in names:
             frame = cv2.imread(os.path.join(args.images, name))
             if frame is None:
                 continue
-            if pipe is None:
-                pipe = InferencePipeline(cfg, variables, batch_size=1,
-                                         input_hw=frame.shape[:2])
+            hw = frame.shape[:2]
+            if hw not in pipes:
+                pipes[hw] = InferencePipeline(cfg, variables, batch_size=1,
+                                              input_hw=hw)
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
             tic = time.time()
-            results = pipe(rgb)
-            print(f"{name}: inference {1000 * (time.time() - tic):.1f} ms")
-            vis = pipe.visualize(results, [frame])[0]
+            results = pipes[hw](rgb)
+            print(f"{name}: inference {1000 * (time.time() - tic):.1f} ms",
+                  flush=True)
+            vis = pipes[hw].visualize(results, [frame])[0]
             cv2.imwrite(os.path.join(args.out, name), vis)
         return
 

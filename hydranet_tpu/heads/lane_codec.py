@@ -378,24 +378,25 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
     dist = lane_pairwise_distance(cand, use_mean_dist)
     suppress_pair = (dist <= thresh) & cand.valid[None, :] & cand.valid[:, None]
     later = jnp.triu(jnp.ones((k, k), bool), 1)
-    suppress_pair = suppress_pair & later
+    # Materialize before the sequential loop so XLA does not rematerialize
+    # the pairwise-distance computation inside every iteration (same fix as
+    # detection.greedy_nms_mask).
+    suppress_pair = jax.lax.optimization_barrier(suppress_pair & later)
 
-    # candidates are prob-sorted with invalid last: scan only the valid prefix
-    num_valid = jnp.sum(cand.valid.astype(jnp.int32))
+    # Fixed max_lanes-trip loop over KEPT lanes (exact greedy truncated to
+    # its first max_lanes keeps — all that is returned anyway); cost is
+    # independent of how many candidates pass the threshold.
+    def body(_, state):
+        keep, avail = state
+        i = jnp.argmax(avail)  # prob-sorted: first available = next pick
+        has = avail[i]
+        keep = keep.at[i].set(keep[i] | has)
+        row = jnp.where(has, suppress_pair[i], False)
+        avail = (avail & ~row).at[i].set(False)
+        return keep, avail
 
-    def cond(state):
-        i, _, _ = state
-        return i < num_valid
-
-    def body(state):
-        i, keep, suppressed = state
-        is_kept = cand.valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(is_kept)
-        suppressed = suppressed | (is_kept & suppress_pair[i])
-        return i + 1, keep, suppressed
-
-    _, keep, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros(k, bool), jnp.zeros(k, bool)))
+    keep, _ = jax.lax.fori_loop(0, max_lanes, body,
+                                (jnp.zeros(k, bool), cand.valid))
 
     order = jnp.argsort(~keep, stable=True)[:max_lanes]
     sel = lambda a: a[order]

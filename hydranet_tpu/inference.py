@@ -34,6 +34,13 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 SEG_CLASS_COLORS = {0: (0, 0, 0), 1: (128, 0, 128), 2: (255, 255, 255),
                     3: (0, 255, 255), 4: (0, 255, 0)}
 
+# per-signed-index lane colors (BGR): ego-adjacent lanes pop, outer lanes
+# cool down; anything beyond +-3 falls back to the reference's yellow
+# (lanedetect.py:159). Index semantics: -1 first lane left of ego, +1 first
+# right (order_lane_x_axis, lane_codec_utils.py:185-235).
+LANE_IDX_COLORS = {-3: (180, 120, 0), -2: (255, 140, 0), -1: (0, 0, 255),
+                   1: (0, 255, 255), 2: (0, 200, 80), 3: (160, 255, 120)}
+
 
 def preprocess_images(images: jnp.ndarray, target_hw: Tuple[int, int],
                       dtype=jnp.float32) -> jnp.ndarray:
@@ -173,19 +180,33 @@ class InferencePipeline:
             oh, ow = im.shape[:2]
 
             if lanes is not None:
+                from hydranet_tpu.heads.lane_ordering import order_lanes_x_axis
+
                 one = jax.tree_util.tree_map(lambda a: a[bi], lanes)
                 lines = lane_ops.lanes_to_points(
                     one, input_height=h, interval=h / cfg.lane_points_per_line,
                     scale_x=ow / w, scale_y=oh / h)
-                for line in lines:
+                # order left-to-right and assign signed ego-relative indices
+                # (reference scale_to_org -> order_lane_x_axis,
+                # lanedetect.py:118-124); color/label by index.
+                for line in order_lanes_x_axis(lines, height=oh):
                     pts = [(int(p["x"]), int(p["y"])) for p in line["points"]]
+                    if len(pts) < 2:  # min_length — lanedetect.py:138-139
+                        continue
+                    # near-vertical filter — lanedetect.py:141-147
+                    arr = np.asarray(pts, np.float64)
+                    if np.ptp(arr[:, 0]) < 1e-6:
+                        continue
+                    slope = np.polyfit(arr[:, 0], arr[:, 1], 1)[0]
+                    if abs(np.arctan(slope)) / np.pi * 180 > 65:
+                        continue
+                    color = LANE_IDX_COLORS.get(line["idx"], (255, 255, 0))
                     for p0, p1 in zip(pts[:-1], pts[1:]):
-                        cv2.line(im, p0, p1, (255, 255, 0), 15)
-                    if pts:
-                        cv2.putText(im, "Lane: %.2f" % line["score"],
-                                    (max(pts[0][0], 30), pts[0][1] - 10),
-                                    cv2.FONT_HERSHEY_SIMPLEX, 2.0,
-                                    (255, 255, 0), 7)
+                        cv2.line(im, p0, p1, color, 15)
+                    cv2.putText(im, "Lane %+d: %.2f" % (line["idx"],
+                                                        line["score"]),
+                                (max(pts[0][0], 30), pts[0][1] - 10),
+                                cv2.FONT_HERSHEY_SIMPLEX, 2.0, color, 7)
 
             if seg is not None:
                 vis = np.zeros((seg.shape[1], seg.shape[2], 3), np.uint8)
