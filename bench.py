@@ -50,8 +50,21 @@ def main():
     pipe = InferencePipeline(cfg, variables, batch_size=BATCH,
                              input_hw=DEMO_HW, compute_dtype=jnp.bfloat16)
 
-    rng = np.random.RandomState(0)
-    frames = rng.randint(0, 255, size=(BATCH, *DEMO_HW, 3), dtype=np.uint8)
+    # real demo frame when the committed fixture is present (preprocess sees
+    # realistic content, not noise); random noise as fallback
+    fixture = os.path.join(repo, "artifacts", "fixtures",
+                           "bench_frame_1080p.jpg")
+    if os.path.exists(fixture):
+        import cv2
+
+        one = cv2.cvtColor(cv2.imread(fixture), cv2.COLOR_BGR2RGB)
+        if one.shape[:2] != DEMO_HW:
+            one = cv2.resize(one, (DEMO_HW[1], DEMO_HW[0]))
+        frames = np.broadcast_to(one, (BATCH, *one.shape)).copy()
+    else:
+        rng = np.random.RandomState(0)
+        frames = rng.randint(0, 255, size=(BATCH, *DEMO_HW, 3),
+                             dtype=np.uint8)
     frames_dev = jax.device_put(jnp.asarray(frames))
 
     # tiny digest forces completion of everything it depends on

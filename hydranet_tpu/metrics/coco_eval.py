@@ -219,3 +219,52 @@ def gen_coco_gt(root_dir: str, list_name: str = "valid.txt",
                 bbox=[x1, y1, max(0, int(x2 - x1)), max(0, int(y2 - y1))],
                 id=annoid, iscrowd=0))
     return annotations, image_ids, id_to_path
+
+
+def write_coco_gt_json(root_dir: str, list_name: str = "valid.txt",
+                       class_names: Optional[Sequence[str]] = None,
+                       out_path: Optional[str] = None) -> str:
+    """Persist the COCO-format GT as a json side-file for drop-in tooling
+    parity with reference gen_val_json.py:31-109 (which writes
+    eval_detect/gt_bbox_results.json). Images with no annotations are
+    skipped and image sizes are read from the files, as in the reference.
+    Returns the json path (existing file is reused, reference behavior)."""
+    import json
+
+    import cv2
+
+    if out_path is None:
+        out_dir = os.path.join(root_dir, "eval_detect")
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, "gt_bbox_results.json")
+    if os.path.exists(out_path):
+        return out_path
+
+    annotations, image_ids, id_to_path = gen_coco_gt(root_dir, list_name,
+                                                     class_names)
+    images = []
+    for img_id in image_ids:
+        im = cv2.imread(id_to_path[img_id])
+        h, w = (im.shape[:2] if im is not None else (0, 0))
+        images.append(dict(license=5, file_name=id_to_path[img_id],
+                           coco_url="local", height=h, width=w, id=img_id))
+    names = list(class_names) if class_names else []
+    categories = [dict(supercategory="object", id=i + 1, name=n)
+                  for i, n in enumerate(names)]
+    for ann in annotations:
+        ann = dict(ann)
+        ann.setdefault("segmentation", [])
+        ann.setdefault("area", ann["bbox"][2] * ann["bbox"][3])
+    dataset = dict(
+        info=dict(description="hydranet_tpu detection GT",
+                  version="1.0", contributor="hydranet_tpu"),
+        images=images,
+        annotations=[dict(segmentation=[], iscrowd=a["iscrowd"],
+                          area=a["bbox"][2] * a["bbox"][3],
+                          image_id=a["image_id"], bbox=a["bbox"],
+                          category_id=a["category_id"], id=a["id"])
+                     for a in annotations],
+        categories=categories)
+    with open(out_path, "w") as f:
+        json.dump(dataset, f)
+    return out_path

@@ -118,6 +118,12 @@ class HydraTrainer:
                 self.coco_eval = COCOMeanAP(
                     gt_ann, categories=list(range(1, cfg.detection.num_classes + 1)),
                     image_ids=image_ids[:cfg.detection.max_images])
+                # persist the GT json side-file for drop-in tooling parity
+                # with reference gen_val_json.py (train.py:176-185)
+                from hydranet_tpu.metrics.coco_eval import write_coco_gt_json
+
+                write_coco_gt_json(self.root_dir,
+                                   class_names=cfg.detection.class_list[1:])
             except (FileNotFoundError, OSError):
                 self.coco_eval = None
         if self.train_lane:

@@ -113,3 +113,26 @@ def test_lane_ordering():
     assert xs == sorted(xs)
     idxs = [l["idx"] for l in ordered]
     assert idxs == [-1, 1]
+
+
+def test_write_coco_gt_json(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth_data import make_dataset
+
+    from hydranet_tpu.metrics.coco_eval import write_coco_gt_json
+
+    root = make_dataset(str(tmp_path / "d"), n_train=2, n_valid=2)
+    p = write_coco_gt_json(root, class_names=["a", "b", "c", "d"])
+    with open(p) as f:
+        ds = json.load(f)
+    assert set(ds) >= {"info", "images", "annotations", "categories"}
+    assert len(ds["categories"]) == 4 and ds["categories"][0]["id"] == 1
+    assert ds["images"] and ds["images"][0]["height"] == 480
+    ann = ds["annotations"][0]
+    assert set(ann) == {"segmentation", "iscrowd", "area", "image_id",
+                        "bbox", "category_id", "id"}
+    # idempotent: existing file is reused (reference behavior)
+    assert write_coco_gt_json(root) == p
