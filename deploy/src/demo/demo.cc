@@ -70,6 +70,30 @@ int main(int argc, char** argv) {
     }
     printf("average latency over %d iters: %.2f ms\n", kIters,
            total / kIters);
+
+    // pipelined path: staging frame k+1 (resize + convert + async H2D)
+    // overlaps the device executing frame k
+    for (int i = 0; i < kWarmup; ++i) {
+      Hydranet_Detect_Pipelined(handle, img.data, img.rows, img.cols, output,
+                                nullptr);
+    }
+    {
+      HN_Output drain;
+      Hydranet_Flush(handle, &drain, nullptr);
+    }
+    int results = 0;
+    double t0 = NowMs();
+    for (int i = 0; i < kIters; ++i) {
+      if (Hydranet_Detect_Pipelined(handle, img.data, img.rows, img.cols,
+                                    output, nullptr) == 1) {
+        ++results;
+      }
+    }
+    if (Hydranet_Flush(handle, output, nullptr) == 1) ++results;
+    double ptotal = NowMs() - t0;
+    printf("pipelined average over %d frames: %.2f ms\n", results,
+           ptotal / results);
+
     if (!out_path.empty()) {
       cv::Mat vis(img.rows, img.cols, CV_8UC3, visual.data());
       cv::imwrite(out_path, vis);

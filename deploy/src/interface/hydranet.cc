@@ -12,38 +12,8 @@ struct Handle {
   cv::Mat last_seg;  // keeps seg_mask memory alive across the C boundary
 };
 
-}  // namespace
-
-extern "C" {
-
-int Hydranet_Init(void** handle, const char* artifact_dir) {
-  std::string error;
-  auto model = hydranet::HydranetModel::Load(artifact_dir, &error);
-  if (!model) {
-    fprintf(stderr, "[hydranet] init failed: %s\n", error.c_str());
-    return -1;
-  }
-  auto* h = new Handle();
-  h->model = std::move(model);
-  *handle = h;
-  return 0;
-}
-
-int Hydranet_Detect(void* handle, const unsigned char* bgr, int height,
-                    int width, HN_Output* output, unsigned char* visual_bgr) {
-  if (handle == nullptr || bgr == nullptr || output == nullptr) return -1;
-  auto* h = static_cast<Handle*>(handle);
-  cv::Mat frame(height, width, CV_8UC3, const_cast<unsigned char*>(bgr));
-
-  hydranet::OutputInfo info;
-  cv::Mat visual;
-  std::string error;
-  if (!h->model->Detect(frame, &info,
-                        visual_bgr != nullptr ? &visual : nullptr, &error)) {
-    fprintf(stderr, "[hydranet] detect failed: %s\n", error.c_str());
-    return -2;
-  }
-
+void FillOutput(Handle* h, const hydranet::OutputInfo& info,
+                HN_Output* output) {
   std::memset(output, 0, sizeof(HN_Output));
   output->num_lanes = 0;
   for (const auto& lane : info.lanes) {
@@ -76,11 +46,92 @@ int Hydranet_Detect(void* handle, const unsigned char* bgr, int height,
   output->preprocess_ms = info.preprocess_ms;
   output->run_ms = info.run_ms;
   output->postprocess_ms = info.postprocess_ms;
+}
 
+}  // namespace
+
+extern "C" {
+
+int Hydranet_Init(void** handle, const char* artifact_dir) {
+  std::string error;
+  auto model = hydranet::HydranetModel::Load(artifact_dir, &error);
+  if (!model) {
+    fprintf(stderr, "[hydranet] init failed: %s\n", error.c_str());
+    return -1;
+  }
+  auto* h = new Handle();
+  h->model = std::move(model);
+  *handle = h;
+  return 0;
+}
+
+int Hydranet_Detect(void* handle, const unsigned char* bgr, int height,
+                    int width, HN_Output* output, unsigned char* visual_bgr) {
+  if (handle == nullptr || bgr == nullptr || output == nullptr) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  cv::Mat frame(height, width, CV_8UC3, const_cast<unsigned char*>(bgr));
+
+  hydranet::OutputInfo info;
+  cv::Mat visual;
+  std::string error;
+  if (!h->model->Detect(frame, &info,
+                        visual_bgr != nullptr ? &visual : nullptr, &error)) {
+    fprintf(stderr, "[hydranet] detect failed: %s\n", error.c_str());
+    return -2;
+  }
+
+  FillOutput(h, info, output);
   if (visual_bgr != nullptr && !visual.empty()) {
     std::memcpy(visual_bgr, visual.data, (size_t)height * width * 3);
   }
   return 0;
+}
+
+int Hydranet_Detect_Pipelined(void* handle, const unsigned char* bgr,
+                              int height, int width, HN_Output* output,
+                              unsigned char* visual_bgr) {
+  if (handle == nullptr || bgr == nullptr || output == nullptr) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  cv::Mat frame(height, width, CV_8UC3, const_cast<unsigned char*>(bgr));
+
+  hydranet::OutputInfo info;
+  cv::Mat visual;
+  bool got = false;
+  std::string error;
+  if (!h->model->SubmitFrame(frame, &info,
+                             visual_bgr != nullptr ? &visual : nullptr, &got,
+                             &error)) {
+    fprintf(stderr, "[hydranet] pipelined detect failed: %s\n",
+            error.c_str());
+    return -2;
+  }
+  if (!got) return 0;
+  FillOutput(h, info, output);
+  if (visual_bgr != nullptr && !visual.empty()) {
+    std::memcpy(visual_bgr, visual.data,
+                (size_t)visual.rows * visual.cols * 3);
+  }
+  return 1;
+}
+
+int Hydranet_Flush(void* handle, HN_Output* output,
+                   unsigned char* visual_bgr) {
+  if (handle == nullptr || output == nullptr) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  hydranet::OutputInfo info;
+  cv::Mat visual;
+  std::string error;
+  if (!h->model->Flush(&info, visual_bgr != nullptr ? &visual : nullptr,
+                       &error)) {
+    fprintf(stderr, "[hydranet] flush failed: %s\n", error.c_str());
+    return -2;
+  }
+  FillOutput(h, info, output);
+  if (visual_bgr != nullptr && !visual.empty()) {
+    std::memcpy(visual_bgr, visual.data,
+                (size_t)visual.rows * visual.cols * 3);
+  }
+  return 1;
 }
 
 int Hydranet_Uinit(void* handle) {

@@ -59,6 +59,21 @@ HYDRANET_API int Hydranet_Detect(void* handle, const unsigned char* bgr,
                                  int height, int width, HN_Output* output,
                                  unsigned char* visual_bgr);
 
+// Pipelined serving (double-buffered H2D): stages this frame while the
+// device executes the previous one. Returns 1 and fills output/visual_bgr
+// with the PREVIOUS frame's results once the pipeline is primed, 0 when no
+// result is ready yet (first frame), negative on error. visual_bgr (if
+// non-NULL) must be sized for the PREVIOUS submitted frame. Drain the last
+// in-flight frame with Hydranet_Flush. Don't interleave with
+// Hydranet_Detect.
+HYDRANET_API int Hydranet_Detect_Pipelined(void* handle,
+                                           const unsigned char* bgr,
+                                           int height, int width,
+                                           HN_Output* output,
+                                           unsigned char* visual_bgr);
+HYDRANET_API int Hydranet_Flush(void* handle, HN_Output* output,
+                                unsigned char* visual_bgr);
+
 HYDRANET_API int Hydranet_Uinit(void* handle);
 
 #ifdef __cplusplus

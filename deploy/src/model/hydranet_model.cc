@@ -143,6 +143,81 @@ bool HydranetModel::Detect(const cv::Mat& input, OutputInfo* out,
   return true;
 }
 
+bool HydranetModel::SubmitFrame(const cv::Mat& input, OutputInfo* out,
+                                cv::Mat* visual, bool* got_result,
+                                std::string* error) {
+  *got_result = false;
+  const size_t frame_bytes = (size_t)in_b_ * in_h_ * in_w_ * 3;
+  const int s = stage_idx_;
+  stage_idx_ = (stage_idx_ + 1) % 2;
+
+  // stage frame k+1 — overlaps the device executing frame k
+  double t0 = NowMs();
+  if (!runtime_->EnsureHostReusable(s, error)) return false;
+  if (staging_[s].size() != frame_bytes) staging_[s].resize(frame_bytes);
+  cv::Mat frame = input;
+  if (frame.rows != in_h_ || frame.cols != in_w_) {
+    cv::resize(input, frame, cv::Size(in_w_, in_h_));
+  }
+  cv::Mat rgb(in_h_, in_w_, CV_8UC3, staging_[s].data());
+  cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+  std::vector<int64_t> dims = {in_b_, in_h_, in_w_, 3};
+  if (!runtime_->StageInput(s, staging_[s].data(), dims, PJRT_Buffer_Type_U8,
+                            error)) {
+    return false;
+  }
+  double t1 = NowMs();
+
+  // collect frame k's results (if primed)
+  if (primed_) {
+    std::vector<HostBuffer> bufs;
+    if (!runtime_->WaitResults(&bufs, error)) return false;
+    double t2 = NowMs();
+    Postprocess(bufs, prev_size_, out);
+    LaneSegConsistencyFilter(out, prev_size_);
+    out->preprocess_ms = prev_pre_ms_;
+    out->run_ms = t2 - t1;  // residual device time not hidden by staging
+    out->postprocess_ms = NowMs() - t2;
+    if (visual != nullptr && !prev_frame_.empty()) {
+      *visual = prev_frame_.clone();
+      Draw(*out, visual);
+    }
+    *got_result = true;
+  }
+
+  // launch frame k+1
+  if (!runtime_->ExecuteStaged(s, error)) return false;
+  primed_ = true;
+  want_visual_ = visual != nullptr;
+  prev_frame_ = want_visual_ ? input.clone() : cv::Mat();
+  prev_size_ = input.size();
+  prev_pre_ms_ = t1 - t0;
+  return true;
+}
+
+bool HydranetModel::Flush(OutputInfo* out, cv::Mat* visual,
+                          std::string* error) {
+  if (!primed_) {
+    if (error) *error = "no frame in flight";
+    return false;
+  }
+  primed_ = false;
+  double t1 = NowMs();
+  std::vector<HostBuffer> bufs;
+  if (!runtime_->WaitResults(&bufs, error)) return false;
+  double t2 = NowMs();
+  Postprocess(bufs, prev_size_, out);
+  LaneSegConsistencyFilter(out, prev_size_);
+  out->preprocess_ms = prev_pre_ms_;
+  out->run_ms = t2 - t1;
+  out->postprocess_ms = NowMs() - t2;
+  if (visual != nullptr && !prev_frame_.empty()) {
+    *visual = prev_frame_.clone();
+    Draw(*out, visual);
+  }
+  return true;
+}
+
 void HydranetModel::Postprocess(const std::vector<HostBuffer>& bufs,
                                 const cv::Size& org, OutputInfo* out) {
   const float sx = (float)org.width / net_w_;

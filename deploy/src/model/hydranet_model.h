@@ -58,6 +58,15 @@ class HydranetModel {
   bool Detect(const cv::Mat& input, OutputInfo* out, cv::Mat* visual,
               std::string* error);
 
+  // Pipelined serving with double-buffered H2D: stages frame k+1 (resize +
+  // BGR2RGB + async host->device copy) while the device executes frame k.
+  // When the pipeline is primed, fills out/visual with the PREVIOUS frame's
+  // results and sets *got_result=true (one-frame latency). Call Flush to
+  // drain the final in-flight frame. Don't interleave with Detect().
+  bool SubmitFrame(const cv::Mat& input, OutputInfo* out, cv::Mat* visual,
+                   bool* got_result, std::string* error);
+  bool Flush(OutputInfo* out, cv::Mat* visual, std::string* error);
+
   int input_height() const { return in_h_; }
   int input_width() const { return in_w_; }
 
@@ -83,6 +92,14 @@ class HydranetModel {
   int idx_lane_prob_ = -1, idx_lane_xs_ = -1, idx_lane_mask_ = -1,
       idx_lane_start_ = -1, idx_lane_end_ = -1, idx_lane_valid_ = -1;
   std::vector<uint8_t> input_staging_;
+  // pipelined-path state (SubmitFrame/Flush)
+  std::vector<uint8_t> staging_[2];
+  int stage_idx_ = 0;
+  bool primed_ = false;
+  bool want_visual_ = false;
+  cv::Mat prev_frame_;
+  cv::Size prev_size_;
+  double prev_pre_ms_ = 0;
 };
 
 }  // namespace hydranet

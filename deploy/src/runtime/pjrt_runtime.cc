@@ -81,6 +81,14 @@ size_t ElementSize(PJRT_Buffer_Type t) {
 
 PjrtRuntime::~PjrtRuntime() {
   if (api_ != nullptr) {
+    if (pending_.active) {
+      std::vector<HostBuffer> drain;
+      std::string err;
+      WaitResults(&drain, &err);
+    }
+    std::string err;
+    ReleaseSlot(&slots_[0], &err);
+    ReleaseSlot(&slots_[1], &err);
     if (executable_ != nullptr) {
       PJRT_LoadedExecutable_Destroy_Args args;
       std::memset(&args, 0, sizeof(args));
@@ -262,70 +270,133 @@ bool PjrtRuntime::Compile(const std::string& mlir_bytes,
   return true;
 }
 
+bool PjrtRuntime::ReleaseSlot(Slot* slot, std::string* error) {
+  // Make the slot's host memory reusable and drop its device buffer (only
+  // called when the slot is not referenced by a pending execution).
+  if (slot->host_done != nullptr) {
+    PJRT_Event* ev = slot->host_done;
+    slot->host_done = nullptr;
+    if (!AwaitEvent(api_, ev, error)) return false;
+  }
+  if (slot->buffer != nullptr) {
+    PJRT_Buffer_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    args.buffer = slot->buffer;
+    slot->buffer = nullptr;
+    api_->PJRT_Buffer_Destroy(&args);
+  }
+  return true;
+}
+
+bool PjrtRuntime::EnsureHostReusable(int slot_id, std::string* error) {
+  return ReleaseSlot(&slots_[slot_id], error);
+}
+
+bool PjrtRuntime::StageInput(int slot_id, const void* input,
+                             const std::vector<int64_t>& dims, int input_type,
+                             std::string* error) {
+  Slot* slot = &slots_[slot_id];
+  if (!ReleaseSlot(slot, error)) return false;
+
+  PJRT_Client_BufferFromHostBuffer_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  args.client = client_;
+  args.data = input;
+  args.type = static_cast<PJRT_Buffer_Type>(input_type);
+  args.dims = dims.data();
+  args.num_dims = dims.size();
+  args.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  args.device = device_;
+  PJRT_Error* err = api_->PJRT_Client_BufferFromHostBuffer(&args);
+  if (err != nullptr) {
+    if (error) *error = "h2d: " + ErrorMessage(api_, err);
+    return false;
+  }
+  slot->buffer = args.buffer;
+  slot->host_done = args.done_with_host_buffer;  // NOT awaited: async H2D
+  return true;
+}
+
+bool PjrtRuntime::ExecuteStaged(int slot_id, std::string* error) {
+  if (pending_.active) {
+    if (error) *error = "an execution is already in flight";
+    return false;
+  }
+  Slot* slot = &slots_[slot_id];
+  if (slot->buffer == nullptr) {
+    if (error) *error = "slot not staged";
+    return false;
+  }
+  pending_.outputs.assign(num_outputs_, nullptr);
+
+  PJRT_ExecuteOptions options;
+  std::memset(&options, 0, sizeof(options));
+  options.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_Buffer* const arg_list[] = {slot->buffer};
+  PJRT_Buffer* const* const argument_lists[] = {arg_list};
+  PJRT_Buffer** output_lists[] = {pending_.outputs.data()};
+  PJRT_Event* device_complete_events[] = {nullptr};
+
+  PJRT_LoadedExecutable_Execute_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  args.executable = executable_;
+  args.options = &options;
+  args.argument_lists = argument_lists;
+  args.num_devices = 1;
+  args.num_args = 1;
+  args.output_lists = output_lists;
+  args.device_complete_events = device_complete_events;
+  args.execute_device = device_;
+  RETURN_IF_PJRT_ERROR(api_->PJRT_LoadedExecutable_Execute(&args),
+                       "execute");
+  pending_.active = true;
+  pending_.input = slot->buffer;
+  // ownership of the input buffer moves to the pending execution; the slot
+  // keeps host_done so a later StageInput still awaits host reuse safety.
+  slot->buffer = nullptr;
+  pending_.device_done = device_complete_events[0];
+  return true;
+}
+
 bool PjrtRuntime::Execute(const void* input,
                           const std::vector<int64_t>& dims, int input_type,
                           std::vector<HostBuffer>* outputs,
                           std::string* error) {
-  // H2D
-  PJRT_Buffer* in_buf = nullptr;
-  {
-    PJRT_Client_BufferFromHostBuffer_Args args;
-    std::memset(&args, 0, sizeof(args));
-    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-    args.client = client_;
-    args.data = input;
-    args.type = static_cast<PJRT_Buffer_Type>(input_type);
-    args.dims = dims.data();
-    args.num_dims = dims.size();
-    args.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    args.device = device_;
-    RETURN_IF_PJRT_ERROR(api_->PJRT_Client_BufferFromHostBuffer(&args),
-                         "h2d");
-    in_buf = args.buffer;
-    if (!AwaitEvent(api_, args.done_with_host_buffer, error)) return false;
+  int slot = next_slot_;
+  next_slot_ = (next_slot_ + 1) % 2;
+  if (!StageInput(slot, input, dims, input_type, error)) return false;
+  if (!ExecuteStaged(slot, error)) return false;
+  return WaitResults(outputs, error);
+}
+
+bool PjrtRuntime::WaitResults(std::vector<HostBuffer>* outputs,
+                              std::string* error) {
+  if (!pending_.active) {
+    if (error) *error = "no execution in flight";
+    return false;
   }
-
-  // Execute
-  std::vector<PJRT_Buffer*> out_bufs(num_outputs_, nullptr);
-  {
-    PJRT_ExecuteOptions options;
-    std::memset(&options, 0, sizeof(options));
-    options.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-
-    PJRT_Buffer* const arg_list[] = {in_buf};
-    PJRT_Buffer* const* const argument_lists[] = {arg_list};
-    PJRT_Buffer** output_lists[] = {out_bufs.data()};
-    PJRT_Event* device_complete = nullptr;
-    PJRT_Event* device_complete_events[] = {device_complete};
-
-    PJRT_LoadedExecutable_Execute_Args args;
-    std::memset(&args, 0, sizeof(args));
-    args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-    args.executable = executable_;
-    args.options = &options;
-    args.argument_lists = argument_lists;
-    args.num_devices = 1;
-    args.num_args = 1;
-    args.output_lists = output_lists;
-    args.device_complete_events = device_complete_events;
-    args.execute_device = device_;
-    RETURN_IF_PJRT_ERROR(api_->PJRT_LoadedExecutable_Execute(&args),
-                         "execute");
-    if (device_complete_events[0] != nullptr &&
-        !AwaitEvent(api_, device_complete_events[0], error)) {
-      return false;
-    }
+  pending_.active = false;
+  if (pending_.device_done != nullptr) {
+    PJRT_Event* ev = pending_.device_done;
+    pending_.device_done = nullptr;
+    if (!AwaitEvent(api_, ev, error)) return false;
   }
-
-  // destroy input buffer
-  {
+  // destroy the consumed input buffer
+  if (pending_.input != nullptr) {
     PJRT_Buffer_Destroy_Args args;
     std::memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    args.buffer = in_buf;
+    args.buffer = pending_.input;
+    pending_.input = nullptr;
     api_->PJRT_Buffer_Destroy(&args);
   }
+  std::vector<PJRT_Buffer*> out_bufs = std::move(pending_.outputs);
+  pending_.outputs.clear();
 
   // D2H: start every copy first, then await all — one pipeline of transfers
   // instead of num_outputs serialized round trips (matters a lot when the

@@ -19,6 +19,8 @@ struct PJRT_Api;
 struct PJRT_Client;
 struct PJRT_LoadedExecutable;
 struct PJRT_Device;
+struct PJRT_Buffer;
+struct PJRT_Event;
 
 namespace hydranet {
 
@@ -63,11 +65,43 @@ class PjrtRuntime {
                int input_type /* PJRT_Buffer_Type */,
                std::vector<HostBuffer>* outputs, std::string* error);
 
+  // --- pipelined path (double-buffered H2D) -------------------------------
+  // StageInput starts an async host->device transfer into one of two input
+  // slots and returns the slot id (or -1 on error). The caller's host memory
+  // must stay untouched until that slot is staged again (the runtime awaits
+  // the transfer-done event before reusing a slot). ExecuteStaged launches
+  // the executable on a staged slot WITHOUT waiting for completion (at most
+  // one execution in flight); WaitResults blocks on it and fetches outputs.
+  // This lets the host resize/convert/stage frame k+1 while the device
+  // executes frame k (the reference's ORT path had the same serialization:
+  // fill then Run, hydranet_model.cpp:240-360).
+  // Await the previous transfer out of `slot_id`'s host memory (call BEFORE
+  // overwriting the host staging buffer bound to that slot).
+  bool EnsureHostReusable(int slot_id, std::string* error);
+  bool StageInput(int slot_id, const void* input,
+                  const std::vector<int64_t>& dims, int input_type,
+                  std::string* error);
+  bool ExecuteStaged(int slot, std::string* error);
+  bool WaitResults(std::vector<HostBuffer>* outputs, std::string* error);
+  bool has_pending() const { return pending_.active; }
+
   int num_outputs() const { return num_outputs_; }
   const std::string& platform_name() const { return platform_name_; }
 
  private:
   PjrtRuntime() = default;
+
+  struct Slot {
+    PJRT_Buffer* buffer = nullptr;
+    PJRT_Event* host_done = nullptr;  // caller memory reusable after this
+  };
+  struct Pending {
+    bool active = false;
+    PJRT_Buffer* input = nullptr;
+    PJRT_Event* device_done = nullptr;
+    std::vector<PJRT_Buffer*> outputs;
+  };
+  bool ReleaseSlot(Slot* slot, std::string* error);
 
   void* dl_handle_ = nullptr;
   const PJRT_Api* api_ = nullptr;
@@ -76,6 +110,9 @@ class PjrtRuntime {
   PJRT_Device* device_ = nullptr;
   int num_outputs_ = 0;
   std::string platform_name_;
+  Slot slots_[2];
+  int next_slot_ = 0;
+  Pending pending_;
 };
 
 }  // namespace hydranet

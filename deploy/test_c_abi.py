@@ -103,7 +103,9 @@ def main():
     # jit are separate compilations, so fusion/rounding can flip near-equal
     # logits on a fraction of pixels.
     seg = np.ctypeslib.as_array(out.seg_mask,
-                                shape=(out.seg_height, out.seg_width))
+                                shape=(out.seg_height, out.seg_width)).copy()
+    # (.copy(): seg_mask points into handle-owned memory that the next
+    # Detect call replaces)
     assert seg.shape == want_seg.shape
     mismatch = np.mean(seg != want_seg)
     assert mismatch < 0.005, f"seg mismatch ratio {mismatch}"
@@ -121,10 +123,35 @@ def main():
             matched += 1
     assert matched >= min(len(got), len(wanted)) - 2, (got, wanted)
 
-    lib.Hydranet_Uinit(handle)
     print(f"C ABI cross-check OK: {out.num_detections} detections, "
           f"{out.num_lanes} lanes, seg {out.seg_height}x{out.seg_width}, "
           f"run {out.run_ms:.1f} ms")
+
+    # pipelined path: results must match the sync path bit-for-bit (same
+    # executable, same frame), arriving with one-frame latency.
+    lib.Hydranet_Detect_Pipelined.argtypes = lib.Hydranet_Detect.argtypes
+    lib.Hydranet_Flush.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(HN_Output),
+                                   ctypes.POINTER(ctypes.c_ubyte)]
+    pout = HN_Output()
+    rc0 = lib.Hydranet_Detect_Pipelined(handle, buf, 128, 128,
+                                        ctypes.byref(pout), None)
+    assert rc0 == 0, f"first pipelined call should return 0, got {rc0}"
+    rc1 = lib.Hydranet_Detect_Pipelined(handle, buf, 128, 128,
+                                        ctypes.byref(pout), None)
+    assert rc1 == 1, f"second pipelined call should return 1, got {rc1}"
+    pseg = np.ctypeslib.as_array(pout.seg_mask,
+                                 shape=(pout.seg_height, pout.seg_width)).copy()
+    assert (pseg == seg).all(), "pipelined seg differs from sync seg"
+    assert pout.num_detections == out.num_detections
+    rcf = lib.Hydranet_Flush(handle, ctypes.byref(pout), None)
+    assert rcf == 1, f"flush should return 1, got {rcf}"
+    fseg = np.ctypeslib.as_array(pout.seg_mask,
+                                 shape=(pout.seg_height, pout.seg_width))
+    assert (fseg == seg).all(), "flushed seg differs from sync seg"
+    print("pipelined C ABI OK: prime->result->flush all consistent")
+
+    lib.Hydranet_Uinit(handle)
 
 
 if __name__ == "__main__":
