@@ -46,6 +46,50 @@ class Conv3x3(nn.Module):
                         dtype=self.dtype, name="conv")(x)
 
 
+class _PadActConv(nn.Module):
+    """reflect-pad + 3x3 conv + bias + ELU as ONE Pallas kernel (in-kernel
+    halo, fused epilogue — ops/pallas_conv2.py). Param names match nn.Conv
+    ('kernel'/'bias') so checkpoint import is unchanged. Falls back to the
+    XLA composition off-TPU or for non-tiling shapes."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from hydranet_tpu.ops.pallas_conv2 import conv3x3_pad_act
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        return conv3x3_pad_act(x.astype(dtype), kernel.astype(dtype),
+                               bias.astype(dtype), pad_mode="reflect",
+                               act="elu")
+
+
+class _PadActConvShim(nn.Module):
+    """Name-compat wrapper: params at <name>/conv/conv/* like the reference
+    ConvBlock -> Conv3x3 -> nn.Conv nesting."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _PadActConv(self.features, dtype=self.dtype, name="conv")(x)
+
+
+def _use_pallas_seg() -> bool:
+    # Opt-in: the fused kernel beats XLA on every ConvBlock STANDALONE
+    # (e.g. 40^2 512->256: 4.1 vs 5.3 ms at bs128) but the pallas_call is a
+    # fusion barrier in the composed decoder — full head measures 57.7 ms
+    # with it vs 51.6 ms pure-XLA. Same conclusion as ops/pallas_conv.py v1.
+    import os
+
+    return os.environ.get("HN_PALLAS_SEG", "0") == "1"
+
+
 class ConvBlock(nn.Module):
     """Conv3x3 + ELU — segmentation.py:16-29."""
 
@@ -54,6 +98,9 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if _use_pallas_seg():
+            return _PadActConvShim(self.features, dtype=self.dtype,
+                                   name="conv")(x)
         return nn.elu(Conv3x3(self.features, dtype=self.dtype, name="conv")(x))
 
 
