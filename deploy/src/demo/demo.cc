@@ -110,35 +110,47 @@ int main(int argc, char** argv) {
       fprintf(stderr, "cannot open %s\n", source.c_str());
       return 3;
     }
+    // pipelined streaming: stage frame k+1 while the device executes k
+    // (results arrive with one-frame latency; the tail is flushed).
     cv::VideoWriter writer;
     cv::Mat frame;
     std::vector<unsigned char> visual;
     double total = 0;
-    int frames = 0;
-    while (cap.read(frame) && !frame.empty()) {
-      visual.resize((size_t)frame.rows * frame.cols * 3);
-      double t0 = NowMs();
-      if (Hydranet_Detect(handle, frame.data, frame.rows, frame.cols, output,
-                          visual.data()) != 0) {
-        break;
-      }
-      total += NowMs() - t0;
-      ++frames;
+    int frames = 0, results = 0;
+    auto emit = [&](const cv::Mat& size_ref) {
+      ++results;
       if (!out_path.empty()) {
         if (!writer.isOpened()) {
           writer.open(out_path, cv::VideoWriter::fourcc('m', 'p', '4', 'v'),
-                      10, frame.size());
+                      10, size_ref.size());
         }
-        cv::Mat vis(frame.rows, frame.cols, CV_8UC3, visual.data());
+        cv::Mat vis(size_ref.rows, size_ref.cols, CV_8UC3, visual.data());
         writer.write(vis);
       }
+    };
+    double t_start = NowMs();
+    cv::Mat last_good;
+    while (cap.read(frame) && !frame.empty()) {
+      visual.resize((size_t)frame.rows * frame.cols * 3);
+      int rc = Hydranet_Detect_Pipelined(handle, frame.data, frame.rows,
+                                         frame.cols, output, visual.data());
+      if (rc < 0) break;
+      ++frames;
+      last_good = frame;
+      if (rc == 1) emit(frame);
       if (frames % 20 == 0) {
-        printf("frame %d: running average %.2f ms\n", frames, total / frames);
+        printf("frame %d: running average %.2f ms\n", frames,
+               (NowMs() - t_start) / frames);
       }
     }
-    if (frames > 0) {
-      printf("processed %d frames, average %.2f ms\n", frames,
-             total / frames);
+    if (frames > 0 && !last_good.empty() &&
+        Hydranet_Flush(handle, output, visual.data()) == 1) {
+      emit(last_good);
+    }
+    total = NowMs() - t_start;
+    if (results > 0) {
+      printf("processed %d frames, average %.2f ms (pipelined)\n", results,
+             total / results);
     }
   }
 

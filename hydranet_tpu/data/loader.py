@@ -183,7 +183,18 @@ class DataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  max_annotations: int = 64, num_workers: int = 0,
                  prefetch_factor: int = 2, num_prefetch: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, shard_rank: int = 0, shard_count: int = 1):
+        """shard_rank/shard_count: multi-host data parallelism — each host
+        iterates a disjoint 1/shard_count slice of every (epoch-shuffled)
+        index permutation, same role as torch's DistributedSampler (which
+        the reference never wires up — its DDP is world_size=1 with a plain
+        shuffling DataLoader, train.py:67-74,129-137). All hosts must use
+        the same seed so the per-epoch permutation agrees."""
+        if not (0 <= shard_rank < shard_count):
+            raise ValueError(f"shard_rank {shard_rank} not in "
+                             f"[0, {shard_count})")
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -252,6 +263,9 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard_count > 1:
+            # ceil-split: ranks 0..n%count-1 get one extra sample
+            n = (n - self.shard_rank + self.shard_count - 1) // self.shard_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -263,6 +277,9 @@ class DataLoader:
             np.random.RandomState(
                 np.random.SeedSequence([self.seed, epoch]).generate_state(1)[0]
             ).shuffle(idx)
+        if self.shard_count > 1:
+            # strided split of the SHARED permutation -> disjoint shards
+            idx = idx[self.shard_rank::self.shard_count]
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

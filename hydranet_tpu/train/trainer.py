@@ -68,10 +68,14 @@ class HydraTrainer:
         self.valid_data = MultitaskDataset(cfg, mode="val")
         # num_worker_* > 0 → persistent forked worker pool doing the full
         # per-sample pipeline + collation off the main process
-        # (reference train.py:67-84 DataLoader(num_workers=...)).
+        # (reference train.py:67-84 DataLoader(num_workers=...)). Under
+        # multi-host DP each process loads a disjoint shard of every epoch
+        # (the DistributedSampler the reference never wires up).
         self.trainloader = DataLoader(
             self.train_data, batch_size=cfg.train.batch_size_train,
-            shuffle=True, num_workers=cfg.train.num_worker_train)
+            shuffle=True, num_workers=cfg.train.num_worker_train,
+            shard_rank=jax.process_index(),
+            shard_count=jax.process_count())
         self.validloader = DataLoader(
             self.valid_data, batch_size=cfg.train.batch_size_valid,
             shuffle=False, num_workers=cfg.train.num_worker_valid)

@@ -182,3 +182,29 @@ def test_cal_split():
     ]}
     ok2, _ = cal_split(lane2, w, h)
     assert not ok2
+
+
+def test_sharded_loader_partitions(cfg):
+    """Multi-host sharding: shards are disjoint, cover the epoch, and follow
+    the same shared permutation on every rank (DistributedSampler role)."""
+    ds = MultitaskDataset(cfg, mode="train", seed=0)
+    paths = []
+    for rank in range(2):
+        dl = DataLoader(ds, batch_size=1, shuffle=True, max_annotations=16,
+                        num_prefetch=0, seed=5, shard_rank=rank,
+                        shard_count=2)
+        got = [b["src_image_path"][0] for b in dl]
+        assert len(got) == len(dl)
+        paths.append(got)
+    joint = paths[0] + paths[1]
+    assert len(set(joint)) == len(ds)  # disjoint + complete cover
+
+    # different epochs reshuffle consistently across ranks
+    dl0 = DataLoader(ds, batch_size=1, shuffle=True, num_prefetch=0, seed=5,
+                     shard_rank=0, shard_count=2)
+    e0 = [b["src_image_path"][0] for b in dl0]
+    e1 = [b["src_image_path"][0] for b in dl0]
+    assert e0 != e1 or len(ds) <= 2
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=1, shard_rank=2, shard_count=2)
