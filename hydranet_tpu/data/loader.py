@@ -344,32 +344,28 @@ class DataLoader:
                 in_flight += 1
 
         submit_up_to_limit()
-        while in_flight > 0 or next_yield in stash:
-            while next_yield in stash:
-                payload = stash.pop(next_yield)
-                next_yield += 1
-                yield payload
-            if in_flight == 0:
-                break
-            batch_id, payload, err = self._result_q.get()
-            in_flight -= 1
-            if err is not None:
-                self.shutdown()
-                raise RuntimeError(f"DataLoader worker failed:\n{err}")
-            stash[batch_id] = _shm_decode(payload)
-            submit_up_to_limit()
-
-
-def make_loader(cfg: Config, dataset: MultitaskDataset, *, train: bool,
-                max_annotations: int = 64) -> DataLoader:
-    """Build the train/valid loader from config, honouring
-    num_worker_train/num_worker_valid (reference train.py:67-84)."""
-    if train:
-        return DataLoader(dataset, batch_size=cfg.train.batch_size_train,
-                          shuffle=True,
-                          num_workers=cfg.train.num_worker_train,
-                          max_annotations=max_annotations)
-    return DataLoader(dataset, batch_size=cfg.train.batch_size_valid,
-                      shuffle=False,
-                      num_workers=cfg.train.num_worker_valid,
-                      max_annotations=max_annotations)
+        try:
+            while in_flight > 0 or next_yield in stash:
+                while next_yield in stash:
+                    payload = stash.pop(next_yield)
+                    next_yield += 1
+                    yield payload
+                if in_flight == 0:
+                    break
+                batch_id, payload, err = self._result_q.get()
+                in_flight -= 1
+                if err is not None:
+                    self.shutdown()
+                    raise RuntimeError(f"DataLoader worker failed:\n{err}")
+                stash[batch_id] = _shm_decode(payload)
+                submit_up_to_limit()
+        finally:
+            # If the consumer abandons the iterator mid-epoch, drain the
+            # in-flight results so the next epoch doesn't receive this
+            # epoch's leftovers (batch ids restart at 0 per epoch). Decode
+            # them so their shared-memory segments are reclaimed.
+            while in_flight > 0:
+                _, payload, err = self._result_q.get()
+                in_flight -= 1
+                if err is None:
+                    _shm_decode(payload)

@@ -16,3 +16,4 @@ from hydranet_tpu.ops.pallas_conv import (  # noqa: F401
     conv3x3_mxu,
     conv3x3_prepadded,
 )
+from hydranet_tpu.ops.pallas_conv2 import conv3x3_pad_act  # noqa: F401

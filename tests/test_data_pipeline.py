@@ -208,3 +208,25 @@ def test_sharded_loader_partitions(cfg):
 
     with pytest.raises(ValueError):
         DataLoader(ds, batch_size=1, shard_rank=2, shard_count=2)
+
+
+def test_pool_abandoned_iterator_is_drained(cfg):
+    """Breaking out of a pooled epoch must not leak this epoch's results
+    into the next one (batch ids restart at 0 per epoch)."""
+    ds = MultitaskDataset(cfg, mode="train", seed=0)
+    dl = DataLoader(ds, batch_size=1, shuffle=True, max_annotations=16,
+                    num_workers=2, seed=11)
+    ref = DataLoader(ds, batch_size=1, shuffle=True, max_annotations=16,
+                     num_workers=0, num_prefetch=0, seed=11)
+    try:
+        it = iter(dl)
+        next(it)          # take one batch...
+        it.close()        # ...abandon the epoch
+        ref_it = iter(ref)
+        next(ref_it)
+        ref_it.close()
+        # second epoch must match the inline loader's second epoch exactly
+        for a, b in zip(ref, dl):
+            _batches_equal(a, b)
+    finally:
+        dl.shutdown()
