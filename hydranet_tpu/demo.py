@@ -108,25 +108,48 @@ def main(argv=None):
         vid = cv2.VideoCapture(args.video)
         writer = None
         pipe = None
-        while True:
-            ok, frame = vid.read()
-            if not ok or frame is None:
-                break
-            if pipe is None:
-                pipe = InferencePipeline(cfg, variables, batch_size=1,
-                                         input_hw=frame.shape[:2])
-                out_path = os.path.join(args.out,
-                                        os.path.basename(args.video))
-                writer = cv2.VideoWriter(
-                    out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
-                    (frame.shape[1], frame.shape[0]))
-            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
-            tic = time.time()
-            results = pipe(rgb)
-            print(f"frame: {1000 * (time.time() - tic):.1f} ms")
-            writer.write(pipe.visualize(results, [frame])[0])
+        frames_bgr = []
+
+        def frame_batches():
+            nonlocal pipe, writer
+            while True:
+                ok, frame = vid.read()
+                if not ok or frame is None:
+                    return
+                if pipe is None:
+                    pipe = InferencePipeline(cfg, variables, batch_size=1,
+                                             input_hw=frame.shape[:2])
+                    out_path = os.path.join(args.out,
+                                            os.path.basename(args.video))
+                    writer = cv2.VideoWriter(
+                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (frame.shape[1], frame.shape[0]))
+                frames_bgr.append(frame)
+                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
+
+        # pipelined serving: host decode + H2D of frame k+1 overlap device
+        # compute of frame k (InferencePipeline.stream keeps `depth` batches
+        # in flight; the reference loop syncs every frame, demo.py:167-261)
+        gen = frame_batches()
+        tic = time.time()
+        n = 0
+        # stream() needs `pipe` to exist: pull the first frame eagerly
+        first = next(gen, None)
+        if first is not None:
+            import itertools
+
+            for results in pipe.stream(itertools.chain([first], gen)):
+                frame = frames_bgr[n]
+                writer.write(pipe.visualize(results, [frame])[0])
+                n += 1
+                if n % 20 == 0:
+                    print(f"frame {n}: running average "
+                          f"{1000 * (time.time() - tic) / n:.1f} ms")
         if writer is not None:
             writer.release()
+        if n:
+            print(f"processed {n} frames, average "
+                  f"{1000 * (time.time() - tic) / n:.1f} ms (pipelined)")
         return
 
     parser.error("one of --images / --video / --deploy is required")

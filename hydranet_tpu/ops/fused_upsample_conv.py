@@ -65,28 +65,58 @@ def _composed_4tap_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
                       k4r[:, 1] + k4r[:, 2], k4r[:, 2]], axis=1)
 
 
-def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
-                               bias: Optional[jnp.ndarray] = None
-                               ) -> jnp.ndarray:
-    """= conv3x3(reflect_pad(nearest_up2(x)), kernel) + bias, computed as ONE
-    input-dilated (transposed) conv. x: [B, H, W, Cin]; kernel [3,3,Cin,Cout].
-
-    nearest-up2 is a transposed conv by a 2x2 ones kernel, so the whole stage
-    collapses to conv(edge_pad1(x), K4, lhs_dilation=2, VALID) with the
-    composed 4x4 kernel — the output comes out ALREADY interleaved at 2x res.
-    The earlier phase-conv + stack/transpose interleave spent 28 of 34 ms in
-    the transpose at the hot shape (bs128 160^2 64ch, v5e); this form is
-    4.5x faster (7.7 ms) with zero interleave traffic. Exact to float
-    associativity (verified vs the reference composition in
-    tests/test_fused_ops.py)."""
+def _dilated_form(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ONE input-dilated (transposed) conv: nearest-up2 is a transposed conv
+    by a 2x2 ones kernel, so the whole stage collapses to
+    conv(edge_pad1(x), K4, lhs_dilation=2, VALID) with the composed 4x4
+    kernel — the output comes out ALREADY interleaved at 2x resolution."""
     pk = _composed_4tap_kernel(kernel)
-    # EDGE padding of x realizes the reflect-pad of the upsampled grid.
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    out = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         xp, pk, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
+
+
+def _phase_form(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Phase-collapsed 2x2 conv producing 4*Cout phase channels at the low
+    resolution, then a stack/transpose interleave."""
+    b, h, w, _ = x.shape
+    cout = kernel.shape[-1]
+    pk = _phase_kernels(kernel)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, pk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    y00 = y[:, :-1, :-1, 0 * cout:1 * cout]
+    y01 = y[:, :-1, 1:, 1 * cout:2 * cout]
+    y10 = y[:, 1:, :-1, 2 * cout:3 * cout]
+    y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
+    out = jnp.stack([y00, y01, y10, y11], axis=-2)
+    out = out.reshape(b, h, w, 2, 2, cout)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+
+
+def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                               bias: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
+    """= conv3x3(reflect_pad(nearest_up2(x)), kernel) + bias, computed at the
+    low resolution. x: [B, H, W, Cin]; kernel [3,3,Cin,Cout].
+
+    Two exact formulations, picked by (static) batch size:
+    - dilated (B >= 8): the phase-conv + stack/transpose interleave spends
+      28 of 34 ms in the transpose at the hot shape (bs128 160^2 64ch, v5e);
+      the transposed-conv form emits the output already interleaved and is
+      4.5x faster there.
+    - phase+interleave (small B): XLA lowers lhs_dilated convs poorly at
+      tiny batch (bs1 320^2 64->5: 4.8 ms dilated vs 1.6 ms phase — the
+      interleave transpose is negligible at bs1 sizes).
+    Both exact to float associativity vs the reference composition
+    (tests/test_fused_ops.py covers both)."""
+    form = _dilated_form if x.shape[0] >= 8 else _phase_form
+    out = form(x, kernel)
     if bias is not None:
         out = out + bias
     return out

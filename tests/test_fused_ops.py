@@ -44,3 +44,28 @@ def test_fused_gradients_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_upconv_forms_agree():
+    """Both upconv formulations (dilated for B>=8, phase+interleave for
+    small B) are exact vs each other and vs the naive composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hydranet_tpu.ops.fused_upsample_conv import (_dilated_form,
+                                                      _phase_form,
+                                                      upsample2x_reflect_conv3x3)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (9, 6, 5, 16), jnp.float32)
+    k = jax.random.normal(rng, (3, 3, 16, 8), jnp.float32) * 0.1
+    a = np.asarray(_dilated_form(x, k))
+    b = np.asarray(_phase_form(x, k))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # dispatcher picks dilated at B=9 and phase at B=2; both match
+    np.testing.assert_allclose(np.asarray(upsample2x_reflect_conv3x3(x, k)),
+                               a, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upsample2x_reflect_conv3x3(x[:2], k)), a[:2],
+        rtol=1e-5, atol=1e-5)
