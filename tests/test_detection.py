@@ -143,3 +143,41 @@ def test_postprocess_parity():
                                        want[i]["scores"], rtol=1e-4, atol=1e-5)
             np.testing.assert_array_equal(np.asarray(got.classes[i][:n]),
                                           want[i]["class_ids"])
+
+
+def test_certified_block_topk_exact():
+    """Block-preselected top-k matches lax.top_k on the above-threshold set
+    in every regime: sparse, spatially clumped (stresses the strided
+    partition), and certificate-violating (falls back to full top_k)."""
+    k, thresh = 500, 0.4
+    rng = np.random.RandomState(7)
+
+    def check(scores):
+        v_ref, i_ref = jax.jit(lambda s: jax.lax.top_k(s, k))(scores)
+        v, i = jax.jit(lambda s: det.certified_block_topk(
+            s, k, thresh, block_size=512, max_per_block=32))(scores)
+        # exactness on the subset consumers keep (score > thresh)
+        m_ref, m = np.asarray(v_ref) > thresh, np.asarray(v) > thresh
+        np.testing.assert_array_equal(np.where(m_ref, np.asarray(i_ref), -1),
+                                      np.where(m, np.asarray(i), -1))
+        np.testing.assert_array_equal(np.where(m_ref, np.asarray(v_ref), 0),
+                                      np.where(m, np.asarray(v), 0))
+
+    a = 40000
+    base = (rng.rand(2, a) * 0.35).astype(np.float32)
+
+    check(jnp.asarray(base))                       # nothing above threshold
+
+    clumped = base.copy()                          # contiguous hot run
+    clumped[0, 1000:1400] = 0.45 + 0.5 * rng.rand(400)
+    clumped[1, 30000:30200] = 0.45 + 0.5 * rng.rand(200)
+    check(jnp.asarray(clumped))
+
+    dense = base.copy()                            # one block > max_per_block
+    nb = -(-a // 512)
+    hot_idx = np.arange(64) * nb + 3               # all in strided block 3
+    dense[0, hot_idx] = 0.45 + 0.5 * rng.rand(64)
+    check(jnp.asarray(dense))
+
+    small = (rng.rand(2, 800).astype(np.float32))  # a <= 4k: plain top_k path
+    check(jnp.asarray(small))
