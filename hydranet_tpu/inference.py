@@ -43,11 +43,31 @@ LANE_IDX_COLORS = {-3: (180, 120, 0), -2: (255, 140, 0), -1: (0, 0, 255),
 
 
 def preprocess_images(images: jnp.ndarray, target_hw: Tuple[int, int],
-                      dtype=jnp.float32) -> jnp.ndarray:
+                      dtype=jnp.float32, allow_pallas: bool = True
+                      ) -> jnp.ndarray:
     """uint8 RGB [B, H0, W0, 3] -> normalized [B, H, W, 3] on device
     (bilinear resize with half-pixel centers, matching cv2 INTER_LINEAR used
-    by demo.py:192; then the imagenet normalize of demo.py:26-40)."""
+    by demo.py:192; then the imagenet normalize of demo.py:26-40).
+
+    Rational downscales (any real camera resolution -> net input) take the
+    fused Pallas resize+normalize kernel (ops/resize.py): exact cv2
+    INTER_LINEAR taps, 4.2 vs 10.4 ms at bs128 1080p. Other shape pairs
+    fall back to jax.image.resize; `allow_pallas=False` forces the
+    fallback (used by the mesh-sharded pipeline, where a pallas_call has
+    no SPMD partitioning rule)."""
+    from hydranet_tpu.ops import resize as fused_resize
+
     b, h0, w0, _ = images.shape
+    if (h0, w0) != tuple(target_hw) \
+            and fused_resize.supports((h0, w0), target_hw):
+        if allow_pallas and images.dtype == jnp.uint8 \
+                and jax.default_backend() == "tpu":
+            return fused_resize.resize_normalize_u8(images, tuple(target_hw),
+                                                    out_dtype=dtype)
+        # same 2-tap periodic math as plain XLA einsums (shardable under a
+        # mesh, runs anywhere) so every backend agrees with the kernel
+        return fused_resize.resize_normalize_reference(
+            images, tuple(target_hw), dtype=dtype)
     x = images.astype(dtype)
     if (h0, w0) != tuple(target_hw):
         # resize FIRST (on 0..255 values) so the big source-resolution tensor
@@ -85,7 +105,8 @@ class InferencePipeline:
         cfg_d, cfg_l = cfg.detection, cfg.lane
 
         def run(variables, frames):
-            x = preprocess_images(frames, self.net_hw, dtype=compute_dtype)
+            x = preprocess_images(frames, self.net_hw, dtype=compute_dtype,
+                                  allow_pallas=mesh is None)
             out = self.model.apply(variables, x, train=False)
             results: Dict[str, Any] = {}
             if cfg.train.train_seg:
