@@ -148,15 +148,40 @@ class _Conv3x3Shim(nn.Module):
 
 class _OutputConvShim(nn.Module):
     """Name-compat wrapper: final fused conv params at <name>/conv/* like the
-    reference's bare Conv3x3 (decoder.8.conv.weight)."""
+    reference's bare Conv3x3 (decoder.8.conv.weight). With
+    `emit_argmax=True` (inference decode) the stage computes
+    argmax(logits) directly at the low resolution and interleaves class
+    ids — the 2x-res logits never exist (ops/fused_upsample_conv.py)."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_low):
-        return _FusedUpConv3x3(self.features, dtype=self.dtype,
-                               name="conv")(x_low)
+    def __call__(self, x_low, emit_argmax: bool = False):
+        if not emit_argmax:
+            return _FusedUpConv3x3(self.features, dtype=self.dtype,
+                                   name="conv")(x_low)
+        from hydranet_tpu.ops.fused_upsample_conv import (
+            upsample2x_conv3x3_argmax)
+
+        # identical param tree (<name>/conv/kernel, bias) as the logits path
+        class _Leaf(nn.Module):
+            features: int
+            dtype: Optional[jnp.dtype] = None
+
+            @nn.compact
+            def __call__(self, x):
+                kernel = self.param("kernel",
+                                    nn.initializers.lecun_normal(),
+                                    (3, 3, x.shape[-1], self.features))
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                dtype = self.dtype or x.dtype
+                return upsample2x_conv3x3_argmax(
+                    x.astype(dtype), kernel.astype(dtype),
+                    bias.astype(dtype))
+
+        return _Leaf(self.features, dtype=self.dtype, name="conv")(x_low)
 
 
 class UpConvBlock(nn.Module):
@@ -181,7 +206,8 @@ class SegmentHead(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, input_features: Sequence[jnp.ndarray]):
+    def __call__(self, input_features: Sequence[jnp.ndarray],
+                 emit_argmax: bool = False):
         n = len(self.num_ch_enc)
         x = input_features[-1]
         for i in range(n):
@@ -194,9 +220,11 @@ class SegmentHead(nn.Module):
                     if self.use_skips and i < n - 1 else None)
             x = UpConvBlock(ch, dtype=self.dtype,
                             name=f"decoder_{2 * i + 1}")(x, skip)
-        # final: conv3x3(reflect_pad(up2(x))), no activation
+        # final: conv3x3(reflect_pad(up2(x))), no activation; inference
+        # decode (emit_argmax) folds the class argmax into this stage
         out = _OutputConvShim(self.num_output_channels, dtype=self.dtype,
-                              name=f"decoder_{2 * n}")(x)
+                              name=f"decoder_{2 * n}")(x,
+                                                       emit_argmax=emit_argmax)
         return out
 
     @staticmethod

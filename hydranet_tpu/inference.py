@@ -107,10 +107,15 @@ class InferencePipeline:
         def run(variables, frames):
             x = preprocess_images(frames, self.net_hw, dtype=compute_dtype,
                                   allow_pallas=mesh is None)
-            out = self.model.apply(variables, x, train=False)
+            # seg_argmax: the final seg stage emits class ids directly (the
+            # full-res logits never exist) — segmentation decode fused into
+            # the forward, as the reference's deploy graph inlines argmax
+            # (model.py:193-198).
+            out = self.model.apply(variables, x, train=False,
+                                   seg_argmax=True)
             results: Dict[str, Any] = {}
             if cfg.train.train_seg:
-                results["seg"] = jnp.argmax(out["seg"], axis=-1)
+                results["seg"] = out["seg"]
             if cfg.train.train_detect:
                 d = out["detection"]
                 results["detections"] = det_ops.postprocess(

@@ -40,7 +40,12 @@ class HydraNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 seg_argmax: bool = False) -> Dict[str, Any]:
+        """seg_argmax=True (inference decode only): out["seg"] is the
+        int32 class-id map instead of logits — the final seg stage fuses
+        conv + argmax at the low resolution and the full-resolution
+        logits are never materialized (~2 ms/batch128 + 409 MB HBM)."""
         cfg = self.cfg
         bb = cfg.backbone
         backbone = RegNetY(
@@ -64,7 +69,8 @@ class HydraNet(nn.Module):
                 num_output_channels=cfg.segment.num_classes,
                 dtype=self.dtype, name="segheader")
             # inputs: [backbone stage0, P3, P4, P5] — model.py:166-172
-            out["seg"] = seg([feats[0], fused[0], fused[1], fused[2]])
+            out["seg"] = seg([feats[0], fused[0], fused[1], fused[2]],
+                             emit_argmax=seg_argmax)
 
         if cfg.train.train_detect:
             det = DetectionHead(

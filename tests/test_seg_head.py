@@ -94,3 +94,33 @@ def test_lovasz_softmax_parity():
     probs = jax.nn.softmax(jnp.asarray(_nhwc(logits)), axis=-1)
     got = lovasz_softmax(probs, jnp.asarray(target), ignore=255)
     np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_emit_argmax_matches_logits_argmax():
+    """Inference decode mode (conv+argmax fused at low res, int8 interleave)
+    vs argmax of the logits path — identical class maps away from exact
+    score ties."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hydranet_tpu.heads.segmentation import SegmentHead
+
+    rng = jax.random.PRNGKey(3)
+    head = SegmentHead(num_ch_enc=(8, 16, 16, 16), num_ch_dec=(4, 6, 8, 12),
+                       num_output_channels=3)
+    feats = [jax.random.normal(jax.random.fold_in(rng, i), s)
+             for i, s in enumerate([(2, 32, 32, 8), (2, 16, 16, 16),
+                                    (2, 8, 8, 16), (2, 4, 4, 16)])]
+    variables = head.init(rng, feats)
+
+    logits = head.apply(variables, feats)
+    a_ref = np.asarray(jnp.argmax(logits, axis=-1))
+    a_fused = np.asarray(head.apply(variables, feats, emit_argmax=True))
+    assert a_fused.shape == a_ref.shape
+    assert a_fused.dtype == np.int32
+    # mask near-ties (phase kernels pre-sum taps in a different order)
+    top2 = np.sort(np.asarray(logits), axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    decided = margin > 1e-4
+    assert np.all(a_fused[decided] == a_ref[decided])
+    assert decided.mean() > 0.99
