@@ -14,6 +14,48 @@ import jax
 import jax.numpy as jnp
 
 
+def _topk_sum_bitsearch(loss: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-row sum of the k largest values of non-negative [B, N] `loss`,
+    WITHOUT sorting.
+
+    `lax.top_k` at the seg-loss shape ([32, 409600], k = 30%) costs
+    ~250 ms/step on v5e — over half the whole train step. The k-th
+    largest VALUE is enough to reduce top-k to a masked sum, and for
+    non-negative floats the IEEE bit pattern is monotone, so a 31-step
+    binary search on the int32 bit pattern finds it exactly; each step is
+    one fused compare+count pass (~2.5 ms total). The boundary (elements equal to the k-th value) contributes
+    `(k - count_above) / count_tied * sum(tied values)` — the identical
+    sum, differentiably: with distinct values this backprops exactly like
+    `top_k`; with ties, the unit of gradient torch gives to an arbitrary
+    subset of the tied elements is spread evenly over all of them.
+    """
+    b, n = loss.shape
+    lf = jax.lax.stop_gradient(loss).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(lf, jnp.int32)
+    # keep the loss tensor materialized OUTSIDE the search loop — without
+    # the barrier XLA rematerializes the full CE chain inside every one of
+    # the 31 iterations (NOTES.md: same failure mode as the det-NMS loop)
+    bits = jax.lax.optimization_barrier(bits)
+
+    def body(i, cur):
+        trial = cur | (1 << (30 - i))
+        cnt = jnp.sum((bits >= trial).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        return jnp.where(cnt >= k, trial, cur)
+
+    kth_bits = jax.lax.fori_loop(0, 31, body,
+                                 jnp.zeros((b, 1), jnp.int32))
+    kth = jax.lax.bitcast_convert_type(kth_bits, jnp.float32)  # [B, 1]
+    lf32 = loss.astype(jnp.float32)
+    gt = lf32 > kth
+    eq = lf32 == kth
+    c_gt = jnp.sum(gt.astype(jnp.float32), axis=1)
+    n_eq = jnp.maximum(jnp.sum(eq.astype(jnp.float32), axis=1), 1.0)
+    s_gt = jnp.sum(lf32 * gt, axis=1)
+    s_eq = jnp.sum(lf32 * eq, axis=1)
+    return s_gt + (k - c_gt) / n_eq * s_eq
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,  # [B, H, W, C]
     target: jnp.ndarray,  # [B, H, W] int
@@ -50,14 +92,24 @@ def cross_entropy_loss(
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    loss = nll * weights[tgt] * valid.astype(logits.dtype)
+    # per-pixel class pick + weight lookup as one-hot contractions: a
+    # take_along_axis gather at this shape costs 208 ms/step on v5e vs
+    # 3 ms for the contraction (TPU gathers are row-serial). Summing
+    # value*{0,1} over C is exact, so numerics equal the gather form.
+    one_hot = (tgt[..., None] ==
+               jnp.arange(c)[None, None, None, :]).astype(logits.dtype)
+    nll = -jnp.sum(logp * one_hot, axis=-1)
+    pix_w = jnp.sum(one_hot * weights[None, None, None, :], axis=-1)
+    loss = nll * pix_w * valid.astype(logits.dtype)
     loss = loss.reshape(b, -1)
 
     if use_top_k:
-        # penalize the top-k hardest pixels — segmentation_loss.py:59-63
+        # penalize the top-k hardest pixels — segmentation_loss.py:59-63.
+        # top-k-as-threshold (exact sum, no sort): 251 -> ~4 ms at bs32.
         k = int(top_k_ratio * loss.shape[1])
-        loss = jax.lax.top_k(loss, k)[0]
+        if k < 1:
+            k = 1
+        return jnp.mean(_topk_sum_bitsearch(loss, k) / k)
     return jnp.mean(loss)
 
 

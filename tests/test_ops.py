@@ -137,3 +137,40 @@ def test_separable_conv_block_parity():
     }
     got = mod.apply(variables, jnp.asarray(_nhwc(x)), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_sum_bitsearch_exact():
+    """Sort-free top-k sum == lax.top_k sum (values and gradients away
+    from ties), incl. degenerate rows (all-equal, all-zero, k=1, k=N)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hydranet_tpu.heads.segmentation_loss import _topk_sum_bitsearch
+
+    rng = np.random.RandomState(0)
+    for b, n, k in [(3, 1000, 300), (2, 4096, 1), (2, 512, 512),
+                    (1, 777, 333)]:
+        x = jnp.asarray(np.abs(rng.randn(b, n)).astype(np.float32))
+        want = jnp.sum(jax.lax.top_k(x, k)[0], axis=1)
+        got = _topk_sum_bitsearch(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-6)
+
+    # ties: rows with repeated values still sum exactly
+    x = jnp.asarray(np.repeat(rng.rand(2, 50).astype(np.float32), 10,
+                              axis=1))
+    k = 123
+    want = jnp.sum(jax.lax.top_k(x, k)[0], axis=1)
+    np.testing.assert_allclose(np.asarray(_topk_sum_bitsearch(x, k)),
+                               np.asarray(want), rtol=2e-6)
+
+    # all-zero rows
+    z = jnp.zeros((2, 100), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_topk_sum_bitsearch(z, 30)), 0.0)
+
+    # gradient: mean of top-k via bitsearch vs via top_k (no ties)
+    x = jnp.asarray(np.abs(rng.randn(2, 500)).astype(np.float32) + 0.01)
+    k = 100
+    g1 = jax.grad(lambda v: jnp.mean(_topk_sum_bitsearch(v, k) / k))(x)
+    g2 = jax.grad(lambda v: jnp.mean(jax.lax.top_k(v, k)[0]))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
