@@ -200,68 +200,47 @@ def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
                     valid: jnp.ndarray, iou_threshold: float,
                     max_keep: Optional[int] = None) -> jnp.ndarray:
-    """Greedy NMS over score-descending-sorted boxes via one KxK IoU matrix
-    and a masked suppression scan. Returns the keep mask (same order).
+    """Greedy NMS over score-descending-sorted boxes: one KxK IoU matrix,
+    then a Jacobi FIXPOINT instead of a sequential scan. Returns the FULL
+    greedy keep mask (same order). `max_keep` is accepted for API compat
+    (consumers slice the first M keeps themselves; the full mask's first M
+    keeps are identical).
 
-    Exactly reproduces torchvision greedy semantics while staying fixed-shape
-    on device: invalid rows never suppress anyone and are never kept.
+    Greedy keep is the unique solution of
+        keep[i] = valid[i] & !any_{j<i}(over[j,i] & keep[j]);
+    iterating keep <- valid & !(overᵀ @ keep) from keep0 = valid converges
+    to it in as many rounds as the longest suppression CHAIN (typically
+    3-8 for box NMS; the previous kept-box loop was 100 fixed sequential
+    steps of vector ops — 4.6 vs 3.4 ms/batch128 measured, and this form
+    is exact full greedy rather than greedy-truncated-to-M). Rounds are
+    bounded by K for adversarial chains; cost stays independent of how
+    many boxes pass the score threshold.
 
-    With `max_keep=M`, the loop runs exactly M FIXED iterations, each keeping
-    the next unsuppressed box (identical to full greedy truncated to its
-    first M kept boxes — what a `max_detections` consumer uses anyway). This
-    makes the cost independent of how many boxes pass the score threshold:
-    the visit-every-valid-box scan is O(num_valid) sequential steps, which
-    under vmap runs max-over-batch iterations (measured 800+ ms/batch128 at
-    ~1% anchors above threshold); the kept-box loop is O(M)=100.
+    Exactly reproduces torchvision greedy semantics while staying
+    fixed-shape on device: invalid rows never suppress and are never kept.
     """
+    del max_keep
     k = boxes.shape[0]
     iou = _iou_matrix(boxes)
     over = (iou > iou_threshold) & valid[None, :] & valid[:, None]
     # row i suppresses j only if j comes later (lower score).
-    later = jnp.triu(jnp.ones((k, k), bool), 1)
-    over = over & later
-    # Materialize the suppression matrix before entering the sequential loop:
-    # without the barrier XLA rematerializes the KxK IoU computation inside
-    # every loop iteration (measured 110 ms vs 12 ms for the whole
-    # postprocess at bs128).
+    over = over & jnp.triu(jnp.ones((k, k), bool), 1)
+    # Materialize the suppression matrix before the loop: without the
+    # barrier XLA rematerializes the KxK IoU computation inside every
+    # iteration (measured 110 ms vs 12 ms for the postprocess at bs128).
     over = jax.lax.optimization_barrier(over)
 
-    if max_keep is not None:
-        def body(_, state):
-            keep, avail = state
-            # rows are score-sorted, so the first available row is the next
-            # greedy pick
-            i = jnp.argmax(avail)
-            has = avail[i]
-            keep = keep.at[i].set(keep[i] | has)
-            row = jnp.where(has, over[i], False)
-            avail = (avail & ~row).at[i].set(False)
-            return keep, avail
-
-        keep, _ = jax.lax.fori_loop(
-            0, min(max_keep, k), body,
-            (jnp.zeros(k, bool), valid))
-        return keep
-
-    # Rows are score-sorted with invalid entries last, so the scan only needs
-    # to visit the valid prefix — a while_loop with a data-dependent trip
-    # count (no recompilation).
-    num_valid = jnp.sum(valid.astype(jnp.int32))
-
     def cond(state):
-        i, _, _ = state
-        return i < num_valid
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
     def body(state):
-        i, keep, suppressed = state
-        is_kept = valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(is_kept)
-        suppressed = suppressed | (is_kept & over[i])
-        return i + 1, keep, suppressed
+        keep, _, it = state
+        suppressed = jnp.any(over & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
 
-    _, keep, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.zeros(k, bool), jnp.zeros(k, bool)))
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
     return keep
 
 

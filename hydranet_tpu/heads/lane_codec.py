@@ -296,21 +296,39 @@ def decode_lanes(
     end = ayp + count_up
 
     # Fill the dense per-row x grid. Walk positions are affine in the walk
-    # index (up: pos = ayp + i; down: pos = ayp - 1 - i), so the scatter
-    # inverts into a plain gather: row `pos` takes up_x[pos - ayp] /
-    # down_x[ayp - 1 - pos]. O(N*ppl) instead of a one-hot O(N*ppl^2).
-    pos = jnp.arange(ppl, dtype=jnp.int32)[None, :]
+    # index (up: pos = ayp + i; down: pos = ayp - 1 - i), AND the offset
+    # `ayp` is a static function of the anchor's grid row alone — so the
+    # scatter inverts into a STATIC shift per grid row (20 slice+pad ops),
+    # not a gather. (A take_along_axis here costs several ms/batch128 on
+    # v5e — TPU gathers are row-serial.)
+    fh, fw = feature_height, feature_width
+    up_x3 = up_x.reshape(fh, fw, ppl)
+    up_v3 = up_valid.reshape(fh, fw, ppl)
+    down_x3 = down_x.reshape(fh, fw, ppl)
+    down_v3 = down_valid.reshape(fh, fw, ppl)
 
-    def gather_rows(xvals, valid, idx):
-        ok = (idx >= 0) & (idx < ppl)
-        idx_c = jnp.clip(idx, 0, ppl - 1)
-        vals = jnp.take_along_axis(xvals, idx_c, axis=1)
-        vmask = jnp.take_along_axis(valid, idx_c, axis=1) & ok
-        return vals, vmask
+    xs_rows, up_m_rows, down_m_rows = [], [], []
+    for h in range(fh):
+        a = ((fh - 1 - h) * ppl) // fh          # = ayp for this grid row
+        # up: vals[p] = up_x[p - a] for p >= a  -> shift right by a
+        u_x = jnp.pad(up_x3[h, :, :ppl - a] if a else up_x3[h],
+                      ((0, 0), (a, 0)))
+        u_m = jnp.pad(up_v3[h, :, :ppl - a] if a else up_v3[h],
+                      ((0, 0), (a, 0)))
+        # down: vals[p] = down_x[a - 1 - p] for p <= a-1 -> reverse then
+        # shift left by ppl - a
+        d_xr = down_x3[h, :, ::-1]
+        d_vr = down_v3[h, :, ::-1]
+        s = ppl - a
+        d_x = jnp.pad(d_xr[:, s:], ((0, 0), (0, s))) if s else d_xr
+        d_m = jnp.pad(d_vr[:, s:], ((0, 0), (0, s))) if s else d_vr
+        xs_rows.append(jnp.where(u_m, u_x, d_x))
+        up_m_rows.append(u_m)
+        down_m_rows.append(d_m)
 
-    xs_up, m_up = gather_rows(up_x, up_valid, pos - ayp[:, None])
-    xs_down, m_down = gather_rows(down_x, down_valid, ayp[:, None] - 1 - pos)
-    xs = jnp.where(m_up, xs_up, xs_down)
+    xs = jnp.concatenate(xs_rows, axis=0)
+    m_up = jnp.concatenate(up_m_rows, axis=0)
+    m_down = jnp.concatenate(down_m_rows, axis=0)
     mask = (m_up | m_down) & exists[:, None]
 
     return DecodedLanes(
@@ -383,20 +401,20 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
     # detection.greedy_nms_mask).
     suppress_pair = jax.lax.optimization_barrier(suppress_pair & later)
 
-    # Fixed max_lanes-trip loop over KEPT lanes (exact greedy truncated to
-    # its first max_lanes keeps — all that is returned anyway); cost is
-    # independent of how many candidates pass the threshold.
-    def body(_, state):
-        keep, avail = state
-        i = jnp.argmax(avail)  # prob-sorted: first available = next pick
-        has = avail[i]
-        keep = keep.at[i].set(keep[i] | has)
-        row = jnp.where(has, suppress_pair[i], False)
-        avail = (avail & ~row).at[i].set(False)
-        return keep, avail
+    # Jacobi fixpoint for the greedy keep mask (see
+    # detection.greedy_nms_mask): converges in longest-suppression-chain
+    # rounds, exact full greedy, density-independent.
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    keep, _ = jax.lax.fori_loop(0, max_lanes, body,
-                                (jnp.zeros(k, bool), cand.valid))
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(suppress_pair & keep[:, None], axis=0)
+        return cand.valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (cand.valid, jnp.zeros_like(cand.valid), jnp.int32(0)))
 
     order = jnp.argsort(~keep, stable=True)[:max_lanes]
     sel = lambda a: a[order]
