@@ -10,8 +10,10 @@ down-channelling it (bifpn.py:78-82,158-165); otherwise P6 = maxpool(conv(P5))
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +25,86 @@ from hydranet_tpu.ops.common import (
     swish,
     upsample_nearest,
 )
+
+
+class _ConvParams(nn.Module):
+    """Param mirror of SamePadConv->FastConv: declares kernel/bias under
+    <name>/conv/* with identical shapes and inits, computing nothing. Lets
+    the fused neck kernel read the same checkpoint tree the XLA path
+    trains (init trees of both paths are asserted identical in
+    tests/test_pallas_bifpn.py)."""
+
+    features: int
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        from hydranet_tpu.ops.common import conv_kaiming_init
+
+        class _Leaf(nn.Module):
+            features: int
+            shape: Tuple[int, ...]
+            use_bias: bool
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", conv_kaiming_init(), self.shape)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None
+                return k, b
+
+        ks = self.kernel_size
+        return _Leaf(self.features,
+                     (ks, ks, in_ch // self.groups, self.features),
+                     self.use_bias, name="conv")()
+
+
+class _BNParams(nn.Module):
+    """Param mirror of TorchBatchNorm (norm/bn/{scale,bias} params +
+    batch_stats {mean,var})."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        class _Leaf(nn.Module):
+            c: int
+
+            @nn.compact
+            def __call__(self):
+                scale = self.param("scale", nn.initializers.ones, (self.c,))
+                bias = self.param("bias", nn.initializers.zeros, (self.c,))
+                mean = self.variable(
+                    "batch_stats", "mean",
+                    lambda: jnp.zeros((self.c,), jnp.float32)).value
+                var = self.variable(
+                    "batch_stats", "var",
+                    lambda: jnp.ones((self.c,), jnp.float32)).value
+                return scale, bias, mean, var
+
+        return _Leaf(c, name="bn")()
+
+
+class _SepConvParams(nn.Module):
+    """Param mirror of SeparableConvBlock; returns the node's arrays for
+    the fused kernel (depthwise taps, BN-folded pointwise kernel+bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        dw_k, _ = _ConvParams(in_ch, kernel_size=3, groups=in_ch,
+                              use_bias=False, name="depthwise_conv")(in_ch)
+        pw_k, pw_b = _ConvParams(self.features, kernel_size=1,
+                                 name="pointwise_conv")(in_ch)
+        scale, bias, mean, var = _BNParams(name="norm")(self.features)
+        # fold BN (inference affine, eps=1e-3 — TorchBatchNorm in
+        # SeparableConvBlock) into the pointwise kernel/bias
+        s = scale * jax.lax.rsqrt(var + 1e-3)
+        taps = dw_k.reshape(9, in_ch)                      # [ky*kx, C]
+        pw = pw_k.reshape(in_ch, self.features) * s[None, :]
+        pb = (pw_b - mean) * s + bias                      # f32
+        return taps, pw, pb
 
 
 class _DownChannel(nn.Module):
@@ -60,17 +142,14 @@ class BiFPN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False,
+                 mode: str = "full"):
+        """mode="full": compute the cell. mode="params": run only the
+        first_time down-channels (real compute) and return the cell's
+        inputs + node/fusion parameters for the fused Pallas kernel
+        (ops/pallas_bifpn.py) — same variable tree either way."""
         nc = self.num_channels
         dt = self.dtype
-        conv6_up = SeparableConvBlock(nc, dtype=dt, name="conv6_up")
-        conv5_up = SeparableConvBlock(nc, dtype=dt, name="conv5_up")
-        conv4_up = SeparableConvBlock(nc, dtype=dt, name="conv4_up")
-        conv3_up = SeparableConvBlock(nc, dtype=dt, name="conv3_up")
-        conv4_down = SeparableConvBlock(nc, dtype=dt, name="conv4_down")
-        conv5_down = SeparableConvBlock(nc, dtype=dt, name="conv5_down")
-        conv6_down = SeparableConvBlock(nc, dtype=dt, name="conv6_down")
-        conv7_down = SeparableConvBlock(nc, dtype=dt, name="conv7_down")
 
         if self.first_time:
             if len(self.conv_channels) == 3:
@@ -107,6 +186,39 @@ class BiFPN(nn.Module):
         else:
             fuse = lambda w, parts: sum(parts[1:], parts[0])
             p6_w1 = p5_w1 = p4_w1 = p3_w1 = p4_w2 = p5_w2 = p6_w2 = p7_w2 = None
+
+        if mode == "params":
+            names = ("conv6_up", "conv5_up", "conv4_up", "conv3_up",
+                     "conv4_down", "conv5_down", "conv6_down", "conv7_down")
+            node_params = [_SepConvParams(nc, name=n)(nc) for n in names]
+            raw = (p6_w1, p5_w1, p4_w1, p3_w1, p4_w2, p5_w2, p6_w2, p7_w2)
+            rows = []
+            for w in raw:
+                if w is None:          # attention=False: plain sum
+                    rows.append(jnp.ones((3,), jnp.float32))
+                    continue
+                r = nn.relu(w)
+                r = r / (jnp.sum(r) + self.epsilon)
+                rows.append(jnp.pad(r, (0, 3 - r.shape[0])))
+            fweights = jnp.stack(rows)                     # [8, 3] f32
+            if self.first_time:
+                p4b = _DownChannel(nc, dtype=dt,
+                                   name="p4_down_channel_2")(p4, train=train)
+                p5b = _DownChannel(nc, dtype=dt,
+                                   name="p5_down_channel_2")(p5, train=train)
+            else:
+                p4b, p5b = p4_in, p5_in
+            return ((p3_in, p4_in, p5_in, p6_in, p7_in), (p4b, p5b),
+                    node_params, fweights)
+
+        conv6_up = SeparableConvBlock(nc, dtype=dt, name="conv6_up")
+        conv5_up = SeparableConvBlock(nc, dtype=dt, name="conv5_up")
+        conv4_up = SeparableConvBlock(nc, dtype=dt, name="conv4_up")
+        conv3_up = SeparableConvBlock(nc, dtype=dt, name="conv3_up")
+        conv4_down = SeparableConvBlock(nc, dtype=dt, name="conv4_down")
+        conv5_down = SeparableConvBlock(nc, dtype=dt, name="conv5_down")
+        conv6_down = SeparableConvBlock(nc, dtype=dt, name="conv6_down")
+        conv7_down = SeparableConvBlock(nc, dtype=dt, name="conv7_down")
 
         # Top-down pathway — bifpn.py:177-200.
         p6_up = conv6_up(swish(fuse(p6_w1, [p6_in, upsample_nearest(p7_in)])),
@@ -149,13 +261,77 @@ class StackBiFPN(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
-        for i in range(self.fpn_cell_repeats):
-            features = BiFPN(
-                num_channels=self.fpn_num_filters,
-                conv_channels=tuple(self.conv_channel_coef),
-                first_time=(i == 0),
-                attention=self.attention,
-                dtype=self.dtype,
-                name=f"cell_{i}",
-            )(features, train=train)
+        cells = [BiFPN(
+            num_channels=self.fpn_num_filters,
+            conv_channels=tuple(self.conv_channel_coef),
+            first_time=(i == 0),
+            attention=self.attention,
+            dtype=self.dtype,
+            name=f"cell_{i}",
+        ) for i in range(self.fpn_cell_repeats)]
+
+        if not train and self._use_fused_kernel(features):
+            return self._fused(cells, features)
+
+        for cell in cells:
+            features = cell(features, train=train)
         return features
+
+    def _use_fused_kernel(self, features) -> bool:
+        from hydranet_tpu.ops import pallas_bifpn
+
+        # Opt-in (HN_PALLAS_NECK=1): the kernel beats the XLA composition
+        # per-cell (3.6-4.3 vs 5.9 ms/cell marginal at bs128) but loses it
+        # back at the pallas operand boundary (full stack composed:
+        # 17.7 vs 16.7 ms) — the same fusion-barrier economics as
+        # pallas_conv v1/v2. Kept for smaller-C configs and as the base
+        # for an in-kernel down-channel variant.
+        interpret = os.environ.get("HN_PALLAS_NECK_INTERPRET", "0") == "1"
+        if not interpret and os.environ.get("HN_PALLAS_NECK", "0") != "1":
+            return False
+        if not interpret and jax.default_backend() != "tpu":
+            return False
+        # level sizes: P3 = first fused level; derive from the finest input
+        p3 = features[-3] if len(self.conv_channel_coef) == 3 else features[-4]
+        h, w = p3.shape[1], p3.shape[2]
+        sizes = tuple((h >> i, w >> i) for i in range(5))
+        if any(s == 0 or (h >> i) << i != h or (w >> i) << i != w
+               for i, (s, _) in enumerate(sizes)):
+            return False
+        return pallas_bifpn.supports(sizes, self.fpn_num_filters,
+                                     self.fpn_cell_repeats, jnp.bfloat16
+                                     if self.dtype is None else self.dtype)
+
+    def _fused(self, cells, features):
+        """Inference path: the first cell's down-channel 1x1s run in XLA
+        (mode='params' computes them), every cell BODY runs inside ONE
+        Pallas kernel with all five levels VMEM-resident
+        (ops/pallas_bifpn.py)."""
+        from hydranet_tpu.ops import pallas_bifpn
+
+        ins = features
+        all_nodes, all_fw = [], []
+        levels = p4b = p5b = None
+        for i, cell in enumerate(cells):
+            lv, (b4, b5), node_params, fw = cell(ins, train=False,
+                                                 mode="params")
+            if i == 0:
+                levels, p4b, p5b = lv, b4, b5
+            all_nodes.append(node_params)
+            all_fw.append(fw)
+            ins = lv  # repeat cells see 5-level inputs (shapes only matter)
+
+        dt = levels[0].dtype
+        taps = jnp.stack([jnp.stack([n[0] for n in nodes])
+                          for nodes in all_nodes]).astype(dt)
+        pws = jnp.stack([jnp.stack([n[1] for n in nodes])
+                         for nodes in all_nodes]).astype(dt)
+        pbs = jnp.stack([jnp.stack([n[2] for n in nodes])
+                         for nodes in all_nodes]).astype(jnp.float32)
+        fws = jnp.stack(all_fw).astype(jnp.float32)
+        sizes = tuple((x.shape[1], x.shape[2]) for x in levels)
+        out = pallas_bifpn.bifpn_cells(
+            [x.astype(dt) for x in levels], p4b.astype(dt), p5b.astype(dt),
+            taps, pws, pbs, fws, sizes,
+            interpret=os.environ.get("HN_PALLAS_NECK_INTERPRET", "0") == "1")
+        return tuple(out)
