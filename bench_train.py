@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
 
 
