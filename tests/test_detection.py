@@ -181,3 +181,34 @@ def test_certified_block_topk_exact():
 
     small = (rng.rand(2, 800).astype(np.float32))  # a <= 4k: plain top_k path
     check(jnp.asarray(small))
+
+
+def test_jacobi_nms_matches_greedy_oracle():
+    """The fixpoint NMS must equal sequential greedy exactly, including
+    suppression chains (A kills B, so B cannot kill C) and all-invalid
+    rows."""
+    rng = np.random.RandomState(11)
+    k = 200
+
+    def numpy_greedy(boxes, valid, thr):
+        iou = np.asarray(det._iou_matrix(jnp.asarray(boxes)))
+        keep = np.zeros(k, bool)
+        supp = np.zeros(k, bool)
+        for i in range(k):
+            if valid[i] and not supp[i]:
+                keep[i] = True
+                supp |= (iou[i] > thr) & (np.arange(k) > i) & valid
+        return keep
+
+    for trial in range(3):
+        centers = rng.rand(k, 2) * 200          # clustered -> chains
+        wh = 20 + rng.rand(k, 2) * 40
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                               -1).astype(np.float32)
+        scores = np.sort(rng.rand(k).astype(np.float32))[::-1].copy()
+        valid = rng.rand(k) > (0.2 if trial < 2 else 1.1)  # last: none valid
+        got = np.asarray(det.greedy_nms_mask(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            0.4))
+        want = numpy_greedy(boxes, valid, 0.4)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
