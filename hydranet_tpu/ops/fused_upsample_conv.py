@@ -31,7 +31,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:

@@ -17,12 +17,14 @@ In-kernel building blocks (C channels on lanes, W on sublanes, H outer):
 - depthwise 3x3 (TF-SAME zero pad): 9 shifted multiply-adds; row shifts
   are outer-dim slices, column shifts are sublane slices with a zero
   column concat.
-- nearest up2: row duplication via stack+outer-reshape, column duplication
-  via lane concat + lane->sublane reshape.
-- maxpool 3x3/s2 (reference zero-pad-participates semantics,
-  common.py:117-152): zero pad right/bottom, stride-2 row slices on the
-  outer dim, and the three column taps come from a column-pair merge
-  ([H, W, C] -> [H, W/2, 2C]) so no strided sublane access is needed.
+- nearest up2 / maxpool-3x3-s2 stride-2 column access: Mosaic supports
+  neither strided sublane slices nor gathers nor lane<->sublane reshape
+  casts, so the monotone index maps (j -> 2j and j -> j//2) are done as
+  log2(W) masked shifts (shift = slice+concat, mask = iota bit test);
+  row-side duplication/selection uses outer-dim stack/phase reshapes,
+  which are free.
+- maxpool keeps the reference's zero-pad-participates semantics
+  (common.py:117-152) because the shifted taps zero-fill.
 
 BatchNorm (inference affine) is folded into the pointwise kernel/bias and
 the fast-attention fusion weights are normalized OUTSIDE the kernel, so
@@ -35,12 +37,10 @@ verified in tests/test_pallas_bifpn.py in interpret mode.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
