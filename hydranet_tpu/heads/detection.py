@@ -317,8 +317,12 @@ def postprocess(
     as a validity mask), run fixed-shape NMS, and emit `max_detections` padded
     rows. Identical results whenever <= pre_nms_top_k anchors pass the
     threshold (always, in practice, for sane thresholds).
+
+    Selection runs in the scores' own dtype (monotone, so identical picks)
+    and box decode happens AFTER selection on the K kept anchors — the
+    all-anchor f32 casts plus full decode otherwise materialize ~0.7 GB at
+    bs128 for rows that are about to be dropped.
     """
-    boxes_all = clip_boxes(bbox_transform(anchors, regression), image_hw)
     pre_nms_top_k = min(pre_nms_top_k, anchors.shape[1])
     max_detections = min(max_detections, pre_nms_top_k)
 
@@ -336,9 +340,15 @@ def postprocess(
         top_scores_all, idx_all = certified_block_topk(
             scores_all, pre_nms_top_k, score_threshold)
 
-    def per_image(boxes, classes, top_scores, idx):
-        top_boxes = boxes[idx]
+    anchors_f = anchors[0].astype(jnp.float32)
+
+    def per_image(regression_i, classes, top_scores, idx):
+        top_boxes = clip_boxes(
+            bbox_transform(anchors_f[idx],
+                           regression_i[idx].astype(jnp.float32)),
+            image_hw)
         top_classes = classes[idx]
+        top_scores = top_scores.astype(jnp.float32)
         valid = top_scores > score_threshold
 
         # batched_nms class-offset trick (torchvision): shift each class into
@@ -358,5 +368,5 @@ def postprocess(
             valid=keep[order],
         )
 
-    return jax.vmap(per_image)(boxes_all, classes_all, top_scores_all,
+    return jax.vmap(per_image)(regression, classes_all, top_scores_all,
                                idx_all)

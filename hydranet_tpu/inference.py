@@ -118,10 +118,13 @@ class InferencePipeline:
                 results["seg"] = out["seg"]
             if cfg.train.train_detect:
                 d = out["detection"]
+                # bf16 passes straight through: selection is monotone in
+                # any dtype and postprocess casts the K kept rows to f32
+                # itself (all-anchor casts would materialize ~0.5 GB)
                 results["detections"] = det_ops.postprocess(
-                    d["anchors"].astype(jnp.float32),
-                    d["regression"].astype(jnp.float32),
-                    d["classification"].astype(jnp.float32),
+                    d["anchors"],
+                    d["regression"],
+                    d["classification"],
                     self.net_hw,
                     score_threshold=det_conf_thres,
                     iou_threshold=det_iou_thres,
