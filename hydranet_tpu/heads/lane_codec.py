@@ -358,14 +358,16 @@ def lane_pairwise_distance(lanes: DecodedLanes, use_mean_dist: bool = False
     if use_mean_dist:
         dist = mean_d
     else:
-        l = lanes.xs.shape[0]
-        rows_i = jnp.arange(l, dtype=jnp.int32)[:, None]
-        rows_j = jnp.arange(l, dtype=jnp.int32)[None, :]
+        pos_r = jnp.arange(ppl, dtype=jnp.int32)[None, None, :]
 
         def endpoint(idx):
-            # |x_i[idx] - x_j[idx]| per pair via small [L, L] gathers
-            xi = lanes.xs[rows_i, idx]
-            xj = lanes.xs[rows_j, idx]
+            # |x_i[idx] - x_j[idx]| per pair. A [L, L] fancy-index gather
+            # here is scalar-serial on TPU (~20 ms/batch128 for the lane
+            # NMS); the one-hot contraction over the small ppl axis is
+            # exact and vectorizes.
+            oh = (idx[:, :, None] == pos_r)               # [L, L, ppl]
+            xi = jnp.sum(jnp.where(oh, lanes.xs[:, None, :], 0.0), axis=-1)
+            xj = jnp.sum(jnp.where(oh, lanes.xs[None, :, :], 0.0), axis=-1)
             return jnp.abs(xi - xj)
 
         d_start = endpoint(jnp.clip(max_start, 0, ppl - 1))
@@ -387,11 +389,26 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
     max_lanes = min(max_lanes, k)
     top_prob, idx = jax.lax.top_k(
         jnp.where(lanes.valid, lanes.prob, -1.0), k)
+    # candidate rows via a one-hot matmul pick (row gathers are serial on
+    # TPU); a single nonzero per row keeps every field exact, including
+    # the int/bool ones (values < 2^24 are exact in f32)
+    pick = (idx[:, None] == jnp.arange(lanes.prob.shape[-1])[None, :]
+            ).astype(jnp.float32)                         # [k, N]
+
+    def sel_rows(a, dtype):
+        picked = jnp.dot(pick, a.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return picked.astype(dtype) if dtype != jnp.bool_ \
+            else picked > 0.5
+
     cand = DecodedLanes(
         prob=top_prob,
-        xs=lanes.xs[idx], mask=lanes.mask[idx],
-        start=lanes.start[idx], end=lanes.end[idx],
-        valid=lanes.valid[idx], anchor=lanes.anchor[idx])
+        xs=sel_rows(lanes.xs, lanes.xs.dtype),
+        mask=sel_rows(lanes.mask, jnp.bool_),
+        start=sel_rows(lanes.start, jnp.int32),
+        end=sel_rows(lanes.end, jnp.int32),
+        valid=sel_rows(lanes.valid, jnp.bool_),
+        anchor=sel_rows(lanes.anchor, jnp.int32))
 
     dist = lane_pairwise_distance(cand, use_mean_dist)
     suppress_pair = (dist <= thresh) & cand.valid[None, :] & cand.valid[:, None]
