@@ -82,6 +82,19 @@ def _crop_keep_size(top: float, right: float, bottom: float, left: float,
     return scale @ _translate(-x0, -y0)
 
 
+# 1.5x linear contrast about 127.5, clip + truncate — bit-identical to the
+# float round trip np.clip(127.5 + 1.5*(v-127.5), 0, 255).astype(uint8).
+_CONTRAST_LUT_15 = np.clip(
+    127.5 + 1.5 * (np.arange(256, dtype=np.float32) - 127.5),
+    0, 255).astype(np.uint8)
+
+
+def _mult_lut(alpha: float) -> np.ndarray:
+    """LUT for clip(v*alpha, 0, 255) with truncation (uint8 Multiply aug)."""
+    return np.clip(np.arange(256, dtype=np.float32) * np.float32(alpha),
+                   0, 255).astype(np.uint8)
+
+
 def _apply_color(image: np.ndarray, rng: np.random.RandomState,
                  sigma_scale: float = 1.0) -> np.ndarray:
     """One randomly chosen color op — dataloader.py:57-68.
@@ -94,17 +107,18 @@ def _apply_color(image: np.ndarray, rng: np.random.RandomState,
         sigma = rng.uniform(0.5, 1.5) * sigma_scale
         img = cv2.GaussianBlur(img, (0, 0), max(sigma, 0.01))
     elif choice == 1:
-        # saturating u8 affine in C (cv2) instead of a float round trip:
-        # ~6x faster per sample at 1080p; differs from the previous
-        # clip+truncate only in LSB rounding
-        img = cv2.convertScaleAbs(img, alpha=1.5, beta=127.5 * (1.0 - 1.5))
+        # 256-entry LUT: exact clip+truncate semantics at C speed.
+        # (convertScaleAbs is NOT usable here: it computes |alpha*x+beta|,
+        # so the negative pre-clip values under 1.5x contrast reflect to
+        # gray instead of clipping to black.)
+        img = cv2.LUT(img, _CONTRAST_LUT_15)
     elif choice == 2:
         if rng.rand() < 0.2:
             mult = rng.uniform(0.8, 1.2, size=3)
-            img = cv2.merge([cv2.convertScaleAbs(c, alpha=m)
+            img = cv2.merge([cv2.LUT(c, _mult_lut(m))
                              for c, m in zip(cv2.split(img), mult)])
         else:
-            img = cv2.convertScaleAbs(img, alpha=rng.uniform(0.8, 1.2))
+            img = cv2.LUT(img, _mult_lut(rng.uniform(0.8, 1.2)))
     elif choice == 3:
         scale = rng.uniform(0.0, 0.1 * 255)
         # f32 noise (f64 Box-Muller over 1080p x 3ch dominated the whole

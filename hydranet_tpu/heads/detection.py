@@ -276,7 +276,11 @@ def certified_block_topk(scores: jnp.ndarray, k: int,
     pad = nb * block_size - a
     sp = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     blocks = sp.reshape(b, block_size, nb).transpose(0, 2, 1)  # [B, nb, bs]
-    cnt = jnp.sum(blocks > score_threshold, axis=-1)
+    # Count in f32: downstream validity is `score.astype(f32) > threshold`,
+    # and a bf16 score equal to bf16(threshold) can still be above the f32
+    # threshold — counting in the score dtype could undercount those and
+    # certify a selection that dropped a downstream-valid anchor.
+    cnt = jnp.sum(blocks.astype(jnp.float32) > score_threshold, axis=-1)
     cert_ok = jnp.max(cnt) <= max_per_block
 
     def fast(_):

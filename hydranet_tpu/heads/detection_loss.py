@@ -70,12 +70,16 @@ def focal_loss(
 
         # per-anchor row pick from the tiny [M, 5] annotation table as a
         # one-hot matmul: the row gather costs ~15 ms/step at A=76k on
-        # v5e (TPU gathers are row-serial); the matmul is exact (single
-        # nonzero per row) and effectively free.
+        # v5e (TPU gathers are row-serial). Precision.HIGHEST is required
+        # for exactness: the TPU default multiplies in bf16, which would
+        # round the picked coords/class ids even though only one term per
+        # row is nonzero. The inner dim is tiny (M<=max_annots) so full
+        # precision costs nothing.
         pick = jax.nn.one_hot(iou_argmax, bbox_annotation.shape[0],
                               dtype=jnp.float32)
         assigned = jnp.dot(pick, bbox_annotation.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)  # [A, 5]
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [A, 5]
         positive = iou_max >= 0.5
         negative = iou_max < 0.4
         num_pos = jnp.sum(positive)

@@ -391,13 +391,17 @@ def lane_nms(lanes: DecodedLanes, thresh: float, top_k: int = 64,
         jnp.where(lanes.valid, lanes.prob, -1.0), k)
     # candidate rows via a one-hot matmul pick (row gathers are serial on
     # TPU); a single nonzero per row keeps every field exact, including
-    # the int/bool ones (values < 2^24 are exact in f32)
+    # the int/bool ones (values < 2^24 are exact in f32) — but ONLY under
+    # Precision.HIGHEST: the TPU default multiplies in bf16, whose 8-bit
+    # mantissa would corrupt anchor ids and xs. The pick matrix is tiny
+    # ([k, N], k<=64) so full precision costs nothing.
     pick = (idx[:, None] == jnp.arange(lanes.prob.shape[-1])[None, :]
             ).astype(jnp.float32)                         # [k, N]
 
     def sel_rows(a, dtype):
         picked = jnp.dot(pick, a.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return picked.astype(dtype) if dtype != jnp.bool_ \
             else picked > 0.5
 

@@ -286,6 +286,11 @@ class StackBiFPN(nn.Module):
         # 17.7 vs 16.7 ms) — the same fusion-barrier economics as
         # pallas_conv v1/v2. Kept for smaller-C configs and as the base
         # for an in-kernel down-channel variant.
+        # HN_NO_PALLAS_NECK=1 forces the XLA path even when the interpret
+        # or opt-in flags are set — tests use it to compare the kernel
+        # against the real XLA reference.
+        if os.environ.get("HN_NO_PALLAS_NECK", "0") == "1":
+            return False
         interpret = os.environ.get("HN_PALLAS_NECK_INTERPRET", "0") == "1"
         if not interpret and os.environ.get("HN_PALLAS_NECK", "0") != "1":
             return False

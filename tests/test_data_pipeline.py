@@ -144,6 +144,22 @@ def test_fast_decode(cfg):
     np.testing.assert_allclose(ra, rb, atol=0.01)
 
 
+def test_color_luts_exact():
+    """The contrast/multiply LUTs must be bit-identical to the float
+    round-trip clip+truncate they replace — in particular dark pixels under
+    1.5x contrast clip to 0 (convertScaleAbs reflected them to gray)."""
+    from hydranet_tpu.data.augment import _CONTRAST_LUT_15, _mult_lut
+
+    v = np.arange(256, dtype=np.float32)
+    expect = np.clip(127.5 + 1.5 * (v - 127.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(_CONTRAST_LUT_15, expect)
+    assert _CONTRAST_LUT_15[0] == 0 and _CONTRAST_LUT_15[10] == 0
+
+    for alpha in [0.8, 0.9537, 1.0, 1.2]:
+        expect = np.clip(v * np.float32(alpha), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(_mult_lut(alpha), expect)
+
+
 def test_augment_consistency():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (100, 200, 3), np.uint8)
