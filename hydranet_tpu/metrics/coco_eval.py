@@ -1,17 +1,21 @@
-"""COCO-style bbox mAP evaluation, self-contained (equivalent capability to
-the reference's pycocotools usage — /root/reference/model/head_detect/
+"""COCO-style bbox mAP/mAR evaluation, self-contained (equivalent capability
+to the reference's pycocotools usage — /root/reference/model/head_detect/
 detect_eval.py:3-14 and gen_val_json.py — pycocotools is not available in
 this image).
 
-Implements the COCOeval bbox protocol: 101-point interpolated precision
-averaged over IoU thresholds .50:.05:.95, area ranges (all/small/medium/large)
-and maxDets (1/10/100), greedy per-image matching in descending score order
-with the highest-IoU available GT.
+Implements the COCOeval bbox protocol: greedy per-image matching in
+descending score order against the highest-IoU available GT (later GT wins
+exact ties, ignored GT only when no unignored GT matches), 101-point
+interpolated precision averaged over IoU thresholds .50:.05:.95, area ranges
+(all/small/medium/large) and maxDets (1/10/100), and the full 12-row
+summarize() (6 AP + 6 AR). Matching runs once per (image, category, area)
+at the largest maxDets and is truncated for the smaller ones, exactly like
+pycocotools' evaluateImg/accumulate split. The matcher's GT inner loop and
+the accumulation are vectorized (pycocotools does this part in C).
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -20,6 +24,7 @@ import numpy as np
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 RECALL_THRS = np.linspace(0.0, 1.0, 101)
+MAX_DETS = (1, 10, 100)
 AREA_RANGES = {
     "all": (0.0, 1e10),
     "small": (0.0, 32.0 ** 2),
@@ -45,6 +50,45 @@ def box_iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray,
+                  thrs: np.ndarray) -> np.ndarray:
+    """COCOeval's greedy matcher for all IoU thresholds at once.
+
+    `iou` is [D, G] with detections already in descending-score order and
+    gts sorted unignored-first. Returns dt_match [T, D] of matched gt
+    indices (-1 unmatched). Semantics (pycocotools cocoeval.py evaluateImg):
+    each detection takes the available gt with the highest IoU >= thr;
+    among equal IoUs the LATER gt wins; an ignored gt is only taken when no
+    unignored gt matched; a match to an unignored gt is final even if an
+    ignored gt has higher IoU.
+    """
+    t = len(thrs)
+    d, g = iou.shape
+    dt_m = -np.ones((t, d), dtype=np.int64)
+    if g == 0:
+        return dt_m
+    gt_avail = np.ones((t, g), dtype=bool)
+    # effective threshold per T row: min(thr, 1-1e-10)
+    thr_eff = np.minimum(thrs, 1 - 1e-10)[:, None]          # [T, 1]
+    unignored = ~gt_ignore[None, :]                          # [1, G]
+    # tie-break helper: argmax picks the FIRST max; COCOeval's loop keeps
+    # the LAST tied gt, so argmax over the reversed gt axis.
+    rev = slice(None, None, -1)
+    for di in range(d):
+        row = iou[di][None, :]                               # [1, G]
+        ok = gt_avail & (row >= thr_eff)                     # [T, G]
+        ok_un = ok & unignored
+        has_un = ok_un.any(axis=1)                           # [T]
+        # candidate set: unignored where any, else ignored
+        cand = np.where(has_un[:, None], ok_un, ok)          # [T, G]
+        masked = np.where(cand, row, -1.0)                   # [T, G]
+        best = g - 1 - np.argmax(masked[:, rev], axis=1)     # last tie wins
+        hit = cand[np.arange(t), best]
+        dt_m[:, di] = np.where(hit, best, -1)
+        gt_avail[np.arange(t), best] &= ~hit
+    return dt_m
+
+
 class COCOMeanAP:
     """Accumulate {image_id, category_id, bbox xywh, score} detections against
     GT of the same schema and summarize AP/AR like COCOeval."""
@@ -67,22 +111,28 @@ class COCOMeanAP:
 
     def reset(self):
         self.dts = defaultdict(list)
+        self._eval_cache = {}
 
     def update(self, detections: Sequence[Dict]):
+        self._eval_cache = {}
         for d in detections:
             if d["image_id"] in self._image_ids:
                 self.dts[(d["image_id"], d["category_id"])].append(d)
 
-    def _evaluate_img(self, img_id: int, cat: int, max_dets: int,
+    def _evaluate_img(self, img_id: int, cat: int,
                       area_rng: Tuple[float, float]):
+        """Match the top-maxDets(=100) detections at every IoU threshold for
+        one (image, category, area range) — pycocotools evaluateImg with
+        maxDet = p.maxDets[-1]; smaller maxDets truncate in _accumulate."""
         gts = self.gts.get((img_id, cat), [])
         dts = sorted(self.dts.get((img_id, cat), []),
-                     key=lambda d: -d["score"])[:max_dets]
+                     key=lambda d: -d["score"])[:MAX_DETS[-1]]
         if not gts and not dts:
             return None
         gt_boxes = np.array([g["bbox"] for g in gts]).reshape(-1, 4)
         gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gts) else np.zeros(0)
-        gt_ignore = ~((gt_area >= area_rng[0]) & (gt_area < area_rng[1]))
+        # pycocotools convention: in-range is inclusive on BOTH ends
+        gt_ignore = ~((gt_area >= area_rng[0]) & (gt_area <= area_rng[1]))
         # sort gts: unignored first (COCOeval convention)
         gorder = np.argsort(gt_ignore, kind="stable")
         gt_boxes = gt_boxes[gorder]
@@ -92,94 +142,99 @@ class COCOMeanAP:
         dt_scores = np.array([d["score"] for d in dts])
         iou = box_iou_xywh(dt_boxes, gt_boxes)
 
-        t = len(IOU_THRS)
-        dt_m = -np.ones((t, len(dts)), dtype=np.int64)
-        gt_m = -np.ones((t, len(gts)), dtype=np.int64)
-        for ti, thr in enumerate(IOU_THRS):
-            for di in range(len(dts)):
-                best, best_iou = -1, min(thr, 1 - 1e-10)
-                for gi in range(len(gts)):
-                    if gt_m[ti, gi] >= 0:
-                        continue
-                    # prefer any unignored match; once we're onto ignored gts
-                    # and already have a match, stop (COCOeval logic)
-                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                        break
-                    if iou[di, gi] < best_iou:
-                        continue
-                    best_iou = iou[di, gi]
-                    best = gi
-                if best >= 0:
-                    dt_m[ti, di] = best
-                    gt_m[ti, best] = di
+        dt_m = _greedy_match(iou, gt_ignore, IOU_THRS)       # [T, D]
 
         dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if len(dts) else np.zeros(0)
-        dt_out_of_range = ~((dt_area >= area_rng[0]) & (dt_area < area_rng[1]))
+        dt_out_of_range = ~((dt_area >= area_rng[0]) & (dt_area <= area_rng[1]))
         # unmatched out-of-range detections are ignored; matched-to-ignored too
-        dt_ignore = np.zeros((t, len(dts)), bool)
-        for ti in range(t):
-            matched = dt_m[ti] >= 0
-            ign_gt = np.zeros(len(dts), bool)
-            ign_gt[matched] = gt_ignore[dt_m[ti][matched]]
-            dt_ignore[ti] = ign_gt | (~matched & dt_out_of_range)
-        return dict(scores=dt_scores, matched=dt_m >= 0, dt_ignore=dt_ignore,
+        matched = dt_m >= 0
+        if len(gts):
+            ign_gt = np.where(matched, gt_ignore[np.clip(dt_m, 0, None)],
+                              False)
+        else:
+            ign_gt = np.zeros_like(matched)
+        dt_ignore = ign_gt | (~matched & dt_out_of_range[None, :])
+        return dict(scores=dt_scores, matched=matched, dt_ignore=dt_ignore,
                     num_gt=int(np.sum(~gt_ignore)))
 
-    def _accumulate(self, max_dets: int, area: str) -> np.ndarray:
-        """Per-(iou_thr, category) AP matrix; -1 where no GT exists."""
-        area_rng = AREA_RANGES[area]
+    def _img_evals(self, cat: int, area: str) -> List[Dict]:
+        key = (cat, area)
+        if key not in self._eval_cache:
+            area_rng = AREA_RANGES[area]
+            evals = [self._evaluate_img(i, cat, area_rng)
+                     for i in sorted(self._image_ids)]
+            self._eval_cache[key] = [e for e in evals if e is not None]
+        return self._eval_cache[key]
+
+    def _accumulate(self, max_dets: int, area: str
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-(iou_thr, category) AP and AR matrices; -1 where no GT."""
         t = len(IOU_THRS)
         ap = -np.ones((t, len(self.categories)))
+        ar = -np.ones((t, len(self.categories)))
         for ci, cat in enumerate(self.categories):
-            evals = [self._evaluate_img(i, cat, max_dets, area_rng)
-                     for i in sorted(self._image_ids)]
-            evals = [e for e in evals if e is not None]
+            evals = self._img_evals(cat, area)
             if not evals:
                 continue
             num_gt = sum(e["num_gt"] for e in evals)
             if num_gt == 0:
                 continue
-            scores = np.concatenate([e["scores"] for e in evals])
+            scores = np.concatenate([e["scores"][:max_dets] for e in evals])
             order = np.argsort(-scores, kind="mergesort")
-            matched = np.concatenate([e["matched"] for e in evals], axis=1)[:, order]
-            ignored = np.concatenate([e["dt_ignore"] for e in evals], axis=1)[:, order]
+            matched = np.concatenate(
+                [e["matched"][:, :max_dets] for e in evals], axis=1)[:, order]
+            ignored = np.concatenate(
+                [e["dt_ignore"][:, :max_dets] for e in evals], axis=1)[:, order]
+
+            # vectorized over thresholds: cumulate tp/fp along the kept dets
+            keep = ~ignored                                   # [T, N]
+            tps = np.cumsum(matched & keep, axis=1)           # [T, N]
+            fps = np.cumsum(~matched & keep, axis=1)
             for ti in range(t):
-                keep = ~ignored[ti]
-                tps = np.cumsum(matched[ti] & keep)[keep]
-                fps = np.cumsum(~matched[ti] & keep)[keep]
-                if len(tps) == 0:
+                tp = tps[ti][keep[ti]]
+                fp = fps[ti][keep[ti]]
+                if len(tp) == 0:
                     ap[ti, ci] = 0.0
+                    ar[ti, ci] = 0.0
                     continue
-                rc = tps / num_gt
-                pr = tps / np.maximum(tps + fps, 1e-12)
-                # make precision monotonically decreasing
-                for k in range(len(pr) - 1, 0, -1):
-                    pr[k - 1] = max(pr[k - 1], pr[k])
+                rc = tp / num_gt
+                pr = tp / np.maximum(tp + fp, 1e-12)
+                ar[ti, ci] = rc[-1]
+                # make precision monotonically decreasing (reverse cummax)
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
                 inds = np.searchsorted(rc, RECALL_THRS, side="left")
                 q = np.zeros(len(RECALL_THRS))
                 valid = inds < len(pr)
                 q[valid] = pr[inds[valid]]
                 ap[ti, ci] = q.mean()
-        return ap
+        return ap, ar
 
     def summarize(self, verbose: bool = True) -> Dict[str, float]:
-        """COCOeval-style summary — the 6 AP rows of summarize()."""
-        def mean_ap(ap):
-            valid = ap > -1
-            return float(ap[valid].mean()) if valid.any() else -1.0
+        """The full 12-row COCOeval summary: 6 AP + 6 AR."""
+        def mean_of(m):
+            valid = m > -1
+            return float(m[valid].mean()) if valid.any() else -1.0
 
-        ap_all = self._accumulate(100, "all")
+        ap_all, ar100 = self._accumulate(100, "all")
         results = {
-            "AP": mean_ap(ap_all),
-            "AP50": mean_ap(ap_all[0:1]),
-            "AP75": mean_ap(ap_all[5:6]),
-            "AP_small": mean_ap(self._accumulate(100, "small")),
-            "AP_medium": mean_ap(self._accumulate(100, "medium")),
-            "AP_large": mean_ap(self._accumulate(100, "large")),
+            "AP": mean_of(ap_all),
+            "AP50": mean_of(ap_all[0:1]),
+            "AP75": mean_of(ap_all[5:6]),
+            "AP_small": mean_of(self._accumulate(100, "small")[0]),
+            "AP_medium": mean_of(self._accumulate(100, "medium")[0]),
+            "AP_large": mean_of(self._accumulate(100, "large")[0]),
+            "AR1": mean_of(self._accumulate(1, "all")[1]),
+            "AR10": mean_of(self._accumulate(10, "all")[1]),
+            "AR100": mean_of(ar100),
+            "AR_small": mean_of(self._accumulate(100, "small")[1]),
+            "AR_medium": mean_of(self._accumulate(100, "medium")[1]),
+            "AR_large": mean_of(self._accumulate(100, "large")[1]),
         }
         if verbose:
             for k, v in results.items():
-                print(f" Average Precision ({k}) = {v:.3f}")
+                kind = ("Average Precision" if k.startswith("AP")
+                        else "Average Recall")
+                print(f" {kind} ({k}) = {v:.3f}")
         return results
 
 
@@ -189,11 +244,9 @@ def gen_coco_gt(root_dir: str, list_name: str = "valid.txt",
     """Build COCO-format GT annotations from labels_object/*.txt files —
     equivalent of reference gen_val_json.py:31-109 without the json
     side-file. Returns (annotations, image_ids, id->path)."""
-    import cv2
-
     list_txt = os.path.join(root_dir, "list", list_name)
     with open(list_txt) as f:
-        img_list = [line.strip() for line in f]
+        img_list = [line.strip() for line in f if line.strip()]
     annotations: List[Dict] = []
     image_ids: List[int] = []
     id_to_path: Dict[int, str] = {}
@@ -251,10 +304,6 @@ def write_coco_gt_json(root_dir: str, list_name: str = "valid.txt",
     names = list(class_names) if class_names else []
     categories = [dict(supercategory="object", id=i + 1, name=n)
                   for i, n in enumerate(names)]
-    for ann in annotations:
-        ann = dict(ann)
-        ann.setdefault("segmentation", [])
-        ann.setdefault("area", ann["bbox"][2] * ann["bbox"][3])
     dataset = dict(
         info=dict(description="hydranet_tpu detection GT",
                   version="1.0", contributor="hydranet_tpu"),

@@ -118,10 +118,17 @@ class HydraTrainer:
         if self.train_detect:
             self.root_dir = cfg.dataloader.data_list.replace("/list", "")
             try:
-                gt_ann, image_ids, _ = gen_coco_gt(self.root_dir)
+                gt_ann, image_ids, id_to_path = gen_coco_gt(self.root_dir)
                 self.coco_eval = COCOMeanAP(
                     gt_ann, categories=list(range(1, cfg.detection.num_classes + 1)),
                     image_ids=image_ids[:cfg.detection.max_images])
+                # Prediction image_ids are keyed by image PATH through this
+                # map. The reference instead assigns ids by loader position
+                # (train.py:343) while its GT ids skip empty-label images
+                # (gen_val_json.py:31-109), so one empty-label val image
+                # shifts every subsequent id and silently corrupts mAP —
+                # reproduced in round 2, fixed here.
+                self._det_path_to_id = {p: i for i, p in id_to_path.items()}
                 # persist the GT json side-file for drop-in tooling parity
                 # with reference gen_val_json.py (train.py:176-185)
                 from hydranet_tpu.metrics.coco_eval import write_coco_gt_json
@@ -130,6 +137,7 @@ class HydraTrainer:
                                    class_names=cfg.detection.class_list[1:])
             except (FileNotFoundError, OSError):
                 self.coco_eval = None
+                self._det_path_to_id = {}
         if self.train_lane:
             self.lane_metric = LaneMetric(method="f1_measure", iou_thresh=0.5,
                                           lane_width=30, thresh_list=[0.5])
@@ -266,7 +274,13 @@ class HydraTrainer:
                     shape = batch["src_image_shape"][bi]
                     sx = w / float(shape["width"])
                     sy = h / float(shape["height"])
-                    image_id = it * cfg.train.batch_size_valid + bi + 1
+                    # id by path, not loader position: images with empty
+                    # label files have no GT id (reference convention) and
+                    # must not shift the ids of the images after them.
+                    image_id = self._det_path_to_id.get(
+                        batch["src_image_path"][bi])
+                    if image_id is None:
+                        continue
                     for k in np.where(valid[bi])[0]:
                         x1, y1, x2, y2 = boxes[bi, k]
                         detect_result.append(dict(
