@@ -1,59 +1,58 @@
-"""Detection visualization (TPU-native equivalent of
-/root/reference/model/head_detect/display.py): per-class color table from
-webcolors names, box + label + score drawing with target->original rescale."""
+"""Detection visualization (same rendering capability as the reference's
+/root/reference/model/head_detect/display.py: per-class colored box + filled
+caption strip with class name and score, coordinates rescaled from network
+input to the original frame). Implementation is our own: the per-class
+palette is generated on the HSV wheel with golden-angle hue stepping
+(deterministic, arbitrarily many distinct classes, no webcolors dependency)
+and the caption strip is measured once from the composed text and flipped
+below the box top when it would clip off-frame."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import cv2
 import numpy as np
 
-STANDARD_COLORS = [
-    "LawnGreen", "Chartreuse", "Aqua", "Beige", "Azure", "BlanchedAlmond",
-    "Bisque", "Aquamarine", "BlueViolet", "BurlyWood", "CadetBlue",
-    "AntiqueWhite", "Chocolate", "Coral", "CornflowerBlue", "Cornsilk",
-    "Crimson", "Cyan", "DarkCyan", "DarkGoldenRod", "DarkGrey", "DarkKhaki",
-    "DarkOrange", "DarkOrchid", "DarkSalmon", "DarkSeaGreen", "DarkTurquoise",
-    "DarkViolet", "DeepPink", "DeepSkyBlue", "DodgerBlue", "FireBrick",
-    "FloralWhite", "ForestGreen", "Fuchsia", "Gainsboro", "GhostWhite",
-    "Gold", "GoldenRod", "Salmon", "Tan", "HoneyDew", "HotPink", "IndianRed",
-    "Ivory",
-]
+_GOLDEN_ANGLE = 137.50776405003785  # degrees
 
 
-def _name_to_bgr(name: str) -> Tuple[int, int, int]:
-    try:
-        import webcolors
-
-        rgb = webcolors.name_to_rgb(name)
-        return (rgb.blue, rgb.green, rgb.red)
-    except Exception:
-        h = abs(hash(name))
-        return (h % 256, (h // 256) % 256, (h // 65536) % 256)
-
-
-COLOR_LIST = [_name_to_bgr(c) for c in STANDARD_COLORS]
+def class_color(class_id: int) -> Tuple[int, int, int]:
+    """Deterministic, well-separated BGR color for a class id: hue walks the
+    color wheel in golden-angle steps (consecutive ids land far apart),
+    saturation/value alternate over a small cycle for extra separation."""
+    hue = (class_id * _GOLDEN_ANGLE) % 360.0
+    sat = (200, 255, 160)[class_id % 3]
+    val = (255, 200, 230)[class_id % 3]
+    hsv = np.array([[[hue / 2.0, sat, val]]], dtype=np.uint8)  # cv2 H in 0..179
+    b, g, r = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0]
+    return int(b), int(g), int(r)
 
 
-def plot_one_box(img: np.ndarray, coord: Sequence[float], label: str = None,
-                 score: float = None, color=None, line_thickness=None):
-    """Box + filled label strip — reference display.py:49-61."""
-    tl = line_thickness or int(round(0.003 * max(img.shape[0:2])))
-    c1 = (int(coord[0]), int(coord[1]))
-    c2 = (int(coord[2]), int(coord[3]))
-    cv2.rectangle(img, c1, c2, color, thickness=tl)
-    if label:
-        tf = max(tl - 2, 1)
-        s_size = cv2.getTextSize(f"{score:.0%}", 0, fontScale=float(tl) / 3,
-                                 thickness=tf)[0]
-        t_size = cv2.getTextSize(label, 0, fontScale=float(tl) / 3,
-                                 thickness=tf)[0]
-        c2 = (c1[0] + t_size[0] + s_size[0] + 15, c1[1] - t_size[1] - 3)
-        cv2.rectangle(img, c1, c2, color, -1)
-        cv2.putText(img, f"{label}{score:.0%}", (c1[0], c1[1] - 2), 0,
-                    float(tl) / 3, [0, 0, 0], thickness=tf,
-                    lineType=cv2.FONT_HERSHEY_SIMPLEX)
+def draw_box_caption(img: np.ndarray, box: Sequence[float], caption: str,
+                     color: Tuple[int, int, int],
+                     thickness: int = None) -> None:
+    """Draw one rectangle and a filled caption strip on a BGR frame.
+
+    The strip sits above the top edge, or inside the box when the top edge
+    is too close to the frame border to fit it."""
+    if thickness is None:
+        diag = float(np.hypot(img.shape[0], img.shape[1]))
+        thickness = max(1, int(diag / 400.0))
+    x1, y1, x2, y2 = (int(round(v)) for v in box)
+    cv2.rectangle(img, (x1, y1), (x2, y2), color, thickness)
+    if not caption:
+        return
+    font, scale = cv2.FONT_HERSHEY_SIMPLEX, thickness / 3.0
+    text_thickness = max(1, thickness - 1)
+    (tw, th), baseline = cv2.getTextSize(caption, font, scale, text_thickness)
+    pad = baseline // 2 + 1
+    strip_h = th + baseline + 2 * pad
+    top = y1 - strip_h if y1 - strip_h >= 0 else y1
+    cv2.rectangle(img, (x1, top), (x1 + tw + 2 * pad, top + strip_h),
+                  color, cv2.FILLED)
+    cv2.putText(img, caption, (x1 + pad, top + strip_h - pad - baseline // 2),
+                font, scale, (0, 0, 0), text_thickness, cv2.LINE_AA)
 
 
 def display_detections(detections, imgs: List[np.ndarray],
@@ -61,25 +60,23 @@ def display_detections(detections, imgs: List[np.ndarray],
                        org_size: Tuple[int, int],
                        target_size: Tuple[int, int]) -> List[np.ndarray]:
     """Draw fixed-shape Detections (hydranet_tpu.heads.detection.Detections)
-    onto BGR frames, rescaling target->original — reference display.py:64-84.
-    """
+    onto BGR frames, rescaling target->original (same contract as reference
+    display.py:64-84)."""
     boxes = np.asarray(detections.boxes)
     scores = np.asarray(detections.scores)
     classes = np.asarray(detections.classes)
     valid = np.asarray(detections.valid)
+    sx = org_size[0] / float(target_size[0])
+    sy = org_size[1] / float(target_size[1])
     for i in range(len(imgs)):
         ks = np.where(valid[i])[0]
         if len(ks) == 0:
             continue
         imgs[i] = imgs[i].copy()
         for k in ks:
+            cid = int(classes[i, k])
             x1, y1, x2, y2 = boxes[i, k]
-            x1 = x1 / float(target_size[0]) * org_size[0]
-            x2 = x2 / float(target_size[0]) * org_size[0]
-            y1 = y1 / float(target_size[1]) * org_size[1]
-            y2 = y2 / float(target_size[1]) * org_size[1]
-            obj = obj_list[int(classes[i, k])]
-            plot_one_box(imgs[i], [x1, y1, x2, y2], label=obj,
-                         score=float(scores[i, k]),
-                         color=COLOR_LIST[int(classes[i, k]) % len(COLOR_LIST)])
+            draw_box_caption(
+                imgs[i], (x1 * sx, y1 * sy, x2 * sx, y2 * sy),
+                f"{obj_list[cid]} {scores[i, k]:.0%}", class_color(cid))
     return imgs

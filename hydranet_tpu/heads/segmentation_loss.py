@@ -12,6 +12,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _topk_sum_bitsearch(loss: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -124,6 +125,28 @@ def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     return jaccard
 
 
+_LOVASZ_SORT_WARN_N = 1 << 21  # ~2M elements
+
+
+def _warn_if_big_sort(n: int, what: str) -> None:
+    """The Lovász extension is DEFINED on sorted errors — there is no exact
+    sort-free formulation (only the boundary values between distinct errors
+    matter, but enumerating distinct f32 values is itself a sort). TPU sorts
+    over multi-million-element axes are row-serial and slow (measured:
+    lax.top_k ~250 ms at [32, 409600]; a full argsort is worse), which
+    violates this repo's no-big-sorts rule — so enabling `use_lovasz` on TPU
+    at training shapes craters the step time. Warn loudly instead of
+    silently regressing; the knob is off in all three presets."""
+    if n >= _LOVASZ_SORT_WARN_N and jax.default_backend() == "tpu":
+        import warnings
+
+        warnings.warn(
+            f"{what}: sorting {n} elements per class on TPU costs hundreds "
+            "of ms per step (see NOTES.md 'lovasz on TPU'); use the CE/top-k "
+            "loss for TPU training or restrict lovasz to small inputs.",
+            RuntimeWarning, stacklevel=3)
+
+
 def lovasz_softmax(
     probas: jnp.ndarray,  # [B, H, W, C] probabilities
     labels: jnp.ndarray,  # [B, H, W] int
@@ -134,6 +157,7 @@ def lovasz_softmax(
     given error 0 / fg 0 so they sort last and contribute nothing (their
     products vanish), instead of torch's boolean filtering."""
     b, h, w, c = probas.shape
+    _warn_if_big_sort(b * h * w, "lovasz_softmax")
     p = probas.reshape(-1, c)
     y = labels.reshape(-1).astype(jnp.int32)
     valid = (y != ignore) if ignore is not None else jnp.ones_like(y, bool)
@@ -153,3 +177,60 @@ def lovasz_softmax(
     losses, present = jax.vmap(class_loss)(jnp.arange(c))
     presentf = present.astype(p.dtype)
     return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
+
+
+def _lovasz_hinge_flat(logits: jnp.ndarray, labels: jnp.ndarray,
+                       valid: jnp.ndarray) -> jnp.ndarray:
+    """Binary Lovász hinge on flat [P] logits/labels with a validity mask —
+    loss_lovasz.py:96-111 (lovasz_hinge_flat) with fixed shapes: instead of
+    torch's boolean filtering, invalid pixels get error -1e30 (they sort
+    last, relu zeroes their contribution) and fg 0 (they never perturb the
+    cumulative Jaccard of the valid prefix)."""
+    fg = labels.astype(jnp.float32) * valid
+    signs = 2.0 * fg - 1.0
+    errors = (1.0 - logits.astype(jnp.float32) * signs)
+    errors = jnp.where(valid > 0, errors, -1e30)
+    order = jnp.argsort(-errors)
+    errors_sorted = errors[order]
+    gt_sorted = fg[order]
+    grad = _lovasz_grad(gt_sorted)
+    return jnp.dot(jax.nn.relu(errors_sorted), grad,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def lovasz_hinge(
+    logits: jnp.ndarray,  # [B, H, W] raw logits
+    labels: jnp.ndarray,  # [B, H, W] binary {0, 1}
+    per_image: bool = True,
+    ignore: Optional[int] = None,
+) -> jnp.ndarray:
+    """Binary Lovász hinge — loss_lovasz.py:79-94. Dead code in the
+    reference pipeline (only lovasz_softmax is reachable from model.py:118),
+    implemented for capability parity."""
+    _warn_if_big_sort(int(np.prod(labels.shape[1:] if per_image
+                                  else labels.shape)), "lovasz_hinge")
+    valid = (jnp.ones(labels.shape, jnp.float32) if ignore is None
+             else (labels != ignore).astype(jnp.float32))
+    if per_image:
+        flat = lambda a: a.reshape(a.shape[0], -1)
+        losses = jax.vmap(_lovasz_hinge_flat)(flat(logits), flat(labels),
+                                              flat(valid))
+        return jnp.mean(losses)
+    return _lovasz_hinge_flat(logits.reshape(-1), labels.reshape(-1),
+                              valid.reshape(-1))
+
+
+def binary_xloss(
+    logits: jnp.ndarray,  # [B, H, W] raw logits
+    labels: jnp.ndarray,  # [B, H, W] binary {0, 1}
+    ignore: Optional[int] = None,
+) -> jnp.ndarray:
+    """Numerically-stable binary cross-entropy on masked pixels —
+    loss_lovasz.py:129-147 (StableBCELoss + binary_xloss). The mean runs
+    over valid pixels only (torch filters them out; here they are masked)."""
+    x = logits.astype(jnp.float32).reshape(-1)
+    t = labels.astype(jnp.float32).reshape(-1)
+    valid = (jnp.ones_like(t) if ignore is None
+             else (labels.reshape(-1) != ignore).astype(jnp.float32))
+    loss = jnp.clip(x, 0, None) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)

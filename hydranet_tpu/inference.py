@@ -247,21 +247,22 @@ class InferencePipeline:
                 im = cv2.addWeighted(im, 0.8, vis, 0.5, 0.0)
 
             if dets is not None:
+                from hydranet_tpu.heads.display import (class_color,
+                                                        draw_box_caption)
+
                 valid = np.asarray(dets.valid[bi])
                 boxes = np.asarray(dets.boxes[bi])
                 scores = np.asarray(dets.scores[bi])
                 classes = np.asarray(dets.classes[bi])
                 for k in np.where(valid)[0]:
                     x1, y1, x2, y2 = boxes[k]
-                    x1, x2 = x1 / w * ow, x2 / w * ow
-                    y1, y2 = y1 / h * oh, y2 / h * oh
-                    cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)),
-                                  (0, 255, 0), 2)
-                    label = obj_list[int(classes[k])] if obj_list else str(
-                        int(classes[k]))
-                    cv2.putText(im, f"{label}{scores[k]:.0%}",
-                                (int(x1), int(y1) - 3),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 0, 0), 1)
+                    cid = int(classes[k])
+                    label = obj_list[cid] if obj_list else str(cid)
+                    draw_box_caption(
+                        im, (x1 / w * ow, y1 / h * oh,
+                             x2 / w * ow, y2 / h * oh),
+                        f"{label} {scores[k]:.0%}", class_color(cid),
+                        thickness=2)
             out_frames.append(im)
         return out_frames
 

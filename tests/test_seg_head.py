@@ -96,6 +96,44 @@ def test_lovasz_softmax_parity():
     np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("per_image", [True, False])
+@pytest.mark.parametrize("ignore", [None, 255])
+def test_lovasz_hinge_parity(per_image, ignore):
+    rc.install()
+    from head_seg.loss_lovasz import lovasz_hinge as ref_hinge
+
+    b, h, w = 3, 12, 16
+    rng = np.random.RandomState(7)
+    logits = rng.randn(b, h, w).astype(np.float32) * 2.0
+    labels = rng.randint(0, 2, size=(b, h, w))
+    if ignore is not None:
+        labels[1, :5, :5] = ignore
+    want = ref_hinge(torch.from_numpy(logits), torch.from_numpy(labels),
+                     per_image=per_image, ignore=ignore).item()
+    from hydranet_tpu.heads.segmentation_loss import lovasz_hinge
+
+    got = lovasz_hinge(jnp.asarray(logits), jnp.asarray(labels),
+                       per_image=per_image, ignore=ignore)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_binary_xloss_parity():
+    rc.install()
+    from head_seg.loss_lovasz import binary_xloss as ref_xloss
+
+    b, h, w = 2, 10, 14
+    rng = np.random.RandomState(11)
+    logits = rng.randn(b, h, w).astype(np.float32) * 3.0
+    labels = rng.randint(0, 2, size=(b, h, w))
+    labels[0, :3, :] = 255
+    want = ref_xloss(torch.from_numpy(logits), torch.from_numpy(labels),
+                     ignore=255).item()
+    from hydranet_tpu.heads.segmentation_loss import binary_xloss
+
+    got = binary_xloss(jnp.asarray(logits), jnp.asarray(labels), ignore=255)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-5)
+
+
 def test_emit_argmax_matches_logits_argmax():
     """Inference decode mode (conv+argmax fused at low res, int8 interleave)
     vs argmax of the logits path — identical class maps away from exact
