@@ -45,13 +45,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def multihost_initialize() -> None:
+def multihost_initialize(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
     """Multi-host bootstrap: the TPU-native equivalent of the reference's
     torch.distributed.init_process_group (train.py:132-135). On a TPU pod
-    slice this is a single jax.distributed.initialize() call; coordinator
-    discovery comes from the TPU runtime. No-op when already initialized or
+    slice this is a single jax.distributed.initialize() call with no
+    arguments; coordinator discovery comes from the TPU runtime. The
+    explicit arguments support non-TPU bootstraps (e.g. the two-process CPU
+    smoke test, tests/test_multihost.py). No-op when already initialized or
     single-process."""
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        if num_processes and num_processes > 1:
+            raise  # an explicit multi-process bootstrap must not fail silently
