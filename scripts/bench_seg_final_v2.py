@@ -1,0 +1,104 @@
+"""Round-3 final-seg-stage experiments (bs128, 320^2 64ch -> 640^2 argmax).
+
+The known wall: the phase conv's contraction is K=(2x2 taps x 64cin)=256
+with N=20 output lanes -> ~15% MXU lane utilization (~9 TF/s measured).
+Reassociating the conv as
+   z[h', w, (u, pc)] = sum_{v, cin} pk[u, v, cin, pc] * xp[h', w+v, cin]
+   y[h, w, pc]       = z[h, w, 0:20] + z[h+1, w, 20:40]
+turns it into a 1x2 conv with K=(2 col-taps x 64)=128 (exactly one K tile)
+and N=(2 row-taps x 20)=40 lanes (2.7x the lane utilization), plus one
+cheap shifted row add. Exact reassociation (same products, same adds up to
+float associativity).
+
+Variants measured here (all produce int32 class ids [B, 640, 640]):
+ a) current shipped: upsample2x_conv3x3_argmax (phase conv N=20)
+ b) z-split: 1x2 conv N=40 -> row add -> per-phase argmax -> interleave
+ c) z-split f32 accum variant (preferred_element_type=f32)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydranet_tpu.ops.fused_upsample_conv import (_phase_kernels,
+                                                  upsample2x_conv3x3_argmax)
+
+B = int(os.environ.get("BENCH_BATCH", "128"))
+H = W = 320
+CIN, NCLS = 64, 5
+DT = jnp.bfloat16
+ITERS = 20
+
+
+def timed(name, fn, *args):
+    jit_fn = jax.jit(fn)
+    digest = jax.jit(lambda y: sum(jnp.sum(t.astype(jnp.float32))
+                                   for t in jax.tree_util.tree_leaves(y)))
+    r = jit_fn(*args)
+    np.asarray(digest(r))
+    r = jit_fn(*args)
+    np.asarray(digest(r))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r = jit_fn(*args)
+    np.asarray(digest(r))
+    ms = (time.perf_counter() - t0) / ITERS * 1000
+    print(f"{name:52s} {ms:8.2f} ms", flush=True)
+    return ms
+
+
+def zsplit_argmax(x, k, bias, acc_dtype=None):
+    """1x2-conv reassociation of the phase conv + fused argmax/interleave."""
+    b, h, w, _ = x.shape
+    cout = k.shape[-1]
+    pk = _phase_kernels(k)                       # [2, 2, CIN, 4*cout]
+    # K2: [1, 2, CIN, 2*4*cout]; lane order (u, phase, class)
+    k2 = jnp.concatenate([pk[0][None], pk[1][None]], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        xp, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_dtype or x.dtype)  # [B, 322, 321, 8*cout]
+    n = 4 * cout
+    y = (z[:, :-1, :, :n] + z[:, 1:, :, n:]).astype(x.dtype)
+    y = y + jnp.tile(bias, 4).astype(y.dtype)         # [B, 321, 321, 20]
+    phases = (y[:, :-1, :-1, 0 * cout:1 * cout],
+              y[:, :-1, 1:, 1 * cout:2 * cout],
+              y[:, 1:, :-1, 2 * cout:3 * cout],
+              y[:, 1:, 1:, 3 * cout:4 * cout])
+    a = jnp.stack([jnp.argmax(p, axis=-1).astype(jnp.int8)
+                   for p in phases], axis=-1)
+    a = a.reshape(b, h, w, 2, 2)
+    a = a.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, 2 * w)
+    return a.astype(jnp.int32)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, W, CIN), DT)
+    k = jnp.asarray(rng.randn(3, 3, CIN, NCLS) * 0.1, DT)
+    bias = jnp.asarray(rng.randn(NCLS) * 0.1, DT)
+
+    # correctness vs shipped path first
+    want = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
+    got = np.asarray(zsplit_argmax(x[:2], k, bias))
+    agree = (want == got).mean()
+    print(f"zsplit vs shipped argmax agreement: {agree:.6f} "
+          f"(<1.0 only at float-associativity ties)")
+
+    timed("a) shipped upsample2x_conv3x3_argmax",
+          lambda x: upsample2x_conv3x3_argmax(x, k, bias), x)
+    timed("b) z-split 1x2 conv N=40 + row-add + argmax",
+          lambda x: zsplit_argmax(x, k, bias), x)
+    timed("c) z-split with f32 accum",
+          lambda x: zsplit_argmax(x, k, bias, acc_dtype=jnp.float32), x)
+
+
+if __name__ == "__main__":
+    main()
