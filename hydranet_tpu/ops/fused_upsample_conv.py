@@ -27,6 +27,7 @@ composition in tests/test_fused_ops.py.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -98,6 +99,33 @@ def _phase_form(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
 
 
+def _phase_logits_zsplit(x: jnp.ndarray, kernel: jnp.ndarray,
+                         bias: jnp.ndarray) -> jnp.ndarray:
+    """Phase logits [B, H+1, W+1, 4*Cout] via the z-split reassociation.
+
+    The direct 2x2 phase conv contracts K=(2x2 taps x Cin)=4*Cin with only
+    4*Cout output lanes — at Cout=5 that is 20/128 lanes (~15% MXU lane
+    utilization, ~9 TF/s measured). Reassociating per row tap u:
+
+        z[h', w, (u, pc)] = sum_{v, cin} pk[u, v, cin, pc] * xp[h', w+v, cin]
+        y[h, w, pc]       = z[h, w, :4*Cout] + z[h+1, w, 4*Cout:]
+
+    turns it into a 1x2 conv with K=(2 col-taps x Cin)=128 at Cin=64
+    (exactly one K tile) and N=8*Cout=40 lanes (2.7x the utilization), plus
+    one shifted row add. Same products and adds — exact to float
+    associativity (tests/test_fused_ops.py)."""
+    pk = _phase_kernels(kernel)                    # [2, 2, Cin, 4*Cout]
+    k2 = jnp.concatenate([pk[0][None], pk[1][None]], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        xp, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)            # [B, H+2, W+1, 8*Cout]
+    n = 4 * kernel.shape[-1]
+    y = z[:, :-1, :, :n] + z[:, 1:, :, n:]
+    return y + jnp.tile(bias, 4).astype(y.dtype)
+
+
 def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
                               bias: jnp.ndarray) -> jnp.ndarray:
     """argmax_c(conv3x3(reflect_pad(up2(x))) + bias) without EVER forming
@@ -114,13 +142,18 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     consumers; the interleave itself runs on int8)."""
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
-    pk = _phase_kernels(kernel)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, pk, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
-    y = y + jnp.tile(bias, 4).astype(y.dtype)
+    if os.environ.get("HN_NO_ZSPLIT", "0") == "1":
+        # direct 2x2 phase conv (the pre-round-3 formulation, kept for
+        # measurement): K=4*Cin contracted into 4*Cout lanes
+        pk = _phase_kernels(kernel)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        y = jax.lax.conv_general_dilated(
+            xp, pk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    else:
+        y = _phase_logits_zsplit(x, kernel, bias)
     phases = (y[:, :-1, :-1, 0 * cout:1 * cout],
               y[:, :-1, 1:, 1 * cout:2 * cout],
               y[:, 1:, :-1, 2 * cout:3 * cout],
