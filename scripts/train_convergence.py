@@ -22,6 +22,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
+# persistent compile cache (the remote compiler takes minutes per program;
+# tests already use this dir — share it so restarts are cheap)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
 
 def main():
     ap = argparse.ArgumentParser()
