@@ -181,8 +181,26 @@ def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
       interleave transpose is negligible at bs1 sizes).
     Both exact to float associativity vs the reference composition
     (tests/test_fused_ops.py covers both)."""
-    form = _dilated_form if x.shape[0] >= 8 else _phase_form
-    out = form(x, kernel)
+    cout = kernel.shape[-1]
+    if (x.shape[0] >= 8 and cout <= 8
+            and os.environ.get("HN_NO_ZSPLIT", "0") != "1"):
+        # tiny-Cout stages (the 64->num_classes output conv): the dilated
+        # form leaves the MXU with cout(=5) output lanes and a 5-lane K on
+        # its input-grad conv; the z-split runs the matmul at N=8*cout
+        # lanes and the interleave of a 4*cout-channel tensor is cheap.
+        b, h, w, _ = x.shape
+        y = _phase_logits_zsplit(x, kernel,
+                                 jnp.zeros((cout,), x.dtype))
+        y00 = y[:, :-1, :-1, 0 * cout:1 * cout]
+        y01 = y[:, :-1, 1:, 1 * cout:2 * cout]
+        y10 = y[:, 1:, :-1, 2 * cout:3 * cout]
+        y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
+        out = jnp.stack([y00, y01, y10, y11], axis=-2)
+        out = out.reshape(b, h, w, 2, 2, cout)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+    else:
+        form = _dilated_form if x.shape[0] >= 8 else _phase_form
+        out = form(x, kernel)
     if bias is not None:
         out = out + bias
     return out

@@ -69,3 +69,29 @@ def test_upconv_forms_agree():
     np.testing.assert_allclose(
         np.asarray(upsample2x_reflect_conv3x3(x[:2], k)), a[:2],
         rtol=1e-5, atol=1e-5)
+
+
+def test_zsplit_train_form_gradients():
+    """The tiny-Cout z-split branch (B>=8, cout<=8) must match the naive
+    composition in value AND gradients (it is the train-path final stage)."""
+    import jax
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(8, 6, 7, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 16, 5).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, k: jnp.sum(fn(x, k, b) ** 2)
+
+    want = _naive(x, k, b)
+    got = upsample2x_reflect_conv3x3(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    gx_w, gk_w = jax.grad(loss(_naive), argnums=(0, 1))(x, k)
+    gx_g, gk_g = jax.grad(loss(upsample2x_reflect_conv3x3),
+                          argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_w),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk_g), np.asarray(gk_w),
+                               rtol=1e-3, atol=1e-3)
