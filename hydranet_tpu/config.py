@@ -45,6 +45,9 @@ class TrainCfg:
     fine_tuning: bool = False
     epoch_tuning: int = 1
     tuning_turn: int = 1
+    # "float32" (reference-faithful default) or "bfloat16" (TPU-fast
+    # compute; params/optimizer state stay f32 — the bench_train policy)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -82,7 +82,9 @@ class HydraTrainer:
 
         # mesh + model — the DP mesh replaces DDP (train.py:129-137)
         self.mesh = make_mesh() if use_mesh else None
-        self.model = HydraNet(cfg=cfg)
+        dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+                 else None)
+        self.model = HydraNet(cfg=cfg, dtype=dtype)
         h, w = cfg.input_hw
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), dummy)
