@@ -142,9 +142,13 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     consumers; the interleave itself runs on int8)."""
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
-    if os.environ.get("HN_NO_ZSPLIT", "0") == "1":
-        # direct 2x2 phase conv (the pre-round-3 formulation, kept for
-        # measurement): K=4*Cin contracted into 4*Cout lanes
+    if os.environ.get("HN_ZSPLIT", "0") == "1":
+        # z-split reassociation: MEASURED NEGATIVE at bs128/320^2/64->5
+        # (18.0 vs 16.0 ms) — the [B, H+2, W+1, 8*Cout] z tensor's HBM
+        # round-trip (~2.1 GB at bs128) outweighs the 2.7x MXU lane-
+        # utilization gain. Kept opt-in as the measured record.
+        y = _phase_logits_zsplit(x, kernel, bias)
+    else:
         pk = _phase_kernels(kernel)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         y = jax.lax.conv_general_dilated(
@@ -152,8 +156,6 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
         y = y + jnp.tile(bias, 4).astype(y.dtype)
-    else:
-        y = _phase_logits_zsplit(x, kernel, bias)
     phases = (y[:, :-1, :-1, 0 * cout:1 * cout],
               y[:, :-1, 1:, 1 * cout:2 * cout],
               y[:, 1:, :-1, 2 * cout:3 * cout],
@@ -183,11 +185,10 @@ def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     (tests/test_fused_ops.py covers both)."""
     cout = kernel.shape[-1]
     if (x.shape[0] >= 8 and cout <= 8
-            and os.environ.get("HN_NO_ZSPLIT", "0") != "1"):
-        # tiny-Cout stages (the 64->num_classes output conv): the dilated
-        # form leaves the MXU with cout(=5) output lanes and a 5-lane K on
-        # its input-grad conv; the z-split runs the matmul at N=8*cout
-        # lanes and the interleave of a 4*cout-channel tensor is cheap.
+            and os.environ.get("HN_ZSPLIT", "0") == "1"):
+        # tiny-Cout z-split variant for the train path (opt-in, same
+        # economics as the inference z-split which measured NEGATIVE:
+        # the z tensor's HBM round-trip beats the lane-utilization gain).
         b, h, w, _ = x.shape
         y = _phase_logits_zsplit(x, kernel,
                                  jnp.zeros((cout,), x.dtype))
