@@ -142,6 +142,13 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     consumers; the interleave itself runs on int8)."""
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
+    if os.environ.get("HN_PALLAS_SEGFINAL", "0") == "1":
+        from hydranet_tpu.ops import pallas_seg_final
+
+        if pallas_seg_final.supports(x.shape, cout):
+            # VMEM-resident z-split kernel (see pallas_seg_final.py)
+            y = pallas_seg_final.phase_logits_pallas(x, kernel, bias)
+            return _phase_argmax_interleave(y, b, h, w, cout)
     if os.environ.get("HN_ZSPLIT", "0") == "1":
         # z-split reassociation: MEASURED NEGATIVE at bs128/320^2/64->5
         # (18.0 vs 16.0 ms) — the [B, H+2, W+1, 8*Cout] z tensor's HBM
@@ -156,6 +163,12 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
         y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return _phase_argmax_interleave(y, b, h, w, cout)
+
+
+def _phase_argmax_interleave(y, b, h, w, cout):
+    """Per-phase argmax of [B, H+1, W+1, 4*cout] phase logits + int8
+    depth-to-space interleave of the class ids."""
     phases = (y[:, :-1, :-1, 0 * cout:1 * cout],
               y[:, :-1, 1:, 1 * cout:2 * cout],
               y[:, 1:, :-1, 2 * cout:3 * cout],

@@ -1,0 +1,133 @@
+"""Pallas kernel for the seg final stage's phase-logit conv
+(y = 2x2-phase-collapsed conv of the 64->num_classes output upconv).
+
+Why a kernel (NOTES.md "Seg final stage", VERDICT r2 item 1): the XLA
+phase conv contracts K=(2x2 taps x 64)=256 into 4*Cout(=20) output lanes —
+~15% MXU lane utilization, ~9 TF/s, 13-14 ms of the 16 ms stage at bs128.
+The z-split reassociation (K=128, N=40, 31% lanes) measured NEGATIVE in
+XLA (18.0 vs 16.0 ms) because the intermediate z tensor
+[B, H+2, W+1, 8*Cout] costs ~2.1 GB of HBM round-trip per batch-128.
+This kernel runs the SAME z-split dot — a [W+1, 128] x [128, 8*Cout]
+matmul per input row — but keeps every z row in VMEM scratch, so the only
+HBM traffic is x in (1.7 GB) and y out (0.53 GB).
+
+Exactness: identical products/adds as `_phase_logits_zsplit`
+(fused_upsample_conv.py) with f32 accumulation; the argmax consumer is
+tie-identical to the XLA path away from float-associativity ties.
+
+Row-block partition: y rows H+1 are tiled into `nb` blocks of RB rows
+(RB divides H+1); each block needs x rows [RB*i - 1, RB*i + RB - 1]
+(clamped), fetched through a `pl.Element` view so the halo needs no
+input padding or copy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hydranet_tpu.ops.fused_upsample_conv import _phase_kernels
+
+
+def _row_block(h_out: int, max_rb: int = 128) -> int:
+    """Largest divisor of h_out with rb <= max_rb AND rb + 1 <= h_out - 1
+    (the rb+1-row Element view must fit inside the H = h_out-1 input rows)."""
+    for rb in range(min(max_rb, h_out - 2), 0, -1):
+        if h_out % rb == 0:
+            return rb
+    return 1
+
+
+def supports(x_shape, cout: int) -> bool:
+    b, h, w, c = x_shape
+    return c == 64 and cout <= 16 and h >= 8 and w >= 8
+
+
+def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
+    """One (image, row-block): z rows via MXU dots, y rows via VPU adds.
+
+    x_ref   [rb+1, W, 64]   input rows (Element view, start clamped)
+    k2_ref  [128, 2n]       z-split weights, f32
+    bias_ref[1, n]          bias tiled over phases, f32
+    out_ref [rb, W+1, n]    y rows of this block
+    z_ref   [rb+1, W+1, 2n] f32 scratch (whole block's z rows)
+    """
+    i = pl.program_id(1)
+    start = jnp.clip(rb * i - 1, 0, h - (rb + 1))  # Element view start row
+
+    def zrow(t, _):
+        # z global row g = rb*i + t reads x row clamp(g-1, 0, h-1)
+        idx = jnp.clip(rb * i + t - 1, 0, h - 1) - start
+        row = x_ref[pl.ds(idx, 1)][0]                       # [W, 64]
+        left = jnp.concatenate([row[0:1], row[:-1]], axis=0)
+        left = jnp.concatenate([left, row[-1:]], axis=0)    # x[clamp(w-1)]
+        right = jnp.concatenate([row, row[-1:]], axis=0)    # x[clamp(w)]
+        a = jnp.concatenate([left, right], axis=1)          # [W+1, 128]
+        z_ref[pl.ds(t, 1)] = jnp.dot(
+            a, k2_ref[:], preferred_element_type=jnp.float32)[None]
+        return 0
+
+    jax.lax.fori_loop(0, rb + 1, zrow, 0, unroll=2)
+
+    def yrow(s, _):
+        z0 = z_ref[pl.ds(s, 1)][0]
+        z1 = z_ref[pl.ds(s + 1, 1)][0]
+        y = z0[:, :n] + z1[:, n:] + bias_ref[0]
+        out_ref[pl.ds(s, 1)] = y.astype(out_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, rb, yrow, 0, unroll=2)
+
+
+def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                        bias: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Phase logits [B, H+1, W+1, 4*Cout] — VMEM-resident z-split."""
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    n = 4 * cout
+    assert supports(x.shape, cout), (x.shape, cout)
+
+    pk = _phase_kernels(kernel).astype(jnp.float32)     # [2, 2, 64, n]
+    # [(v, cin)=128, (u, pc)=2n]
+    k2 = jnp.concatenate([pk[0], pk[1]], axis=-1).reshape(2 * c, 2 * n)
+    bias_t = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, n)
+
+    h_out = h + 1
+    rb = _row_block(h_out)
+    nb = h_out // rb
+    grid = (b, nb)
+
+    in_specs = [
+        pl.BlockSpec((None, pl.Element(rb + 1), w, c),
+                     lambda bi, i: (bi, jnp.clip(rb * i - 1, 0, h - (rb + 1)),
+                                    0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c, 2 * n), lambda bi, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda bi, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((None, rb, w + 1, n),
+                            lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, rb=rb, h=h, w=w, n=n),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w + 1, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rb + 1, w + 1, 2 * n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (h + 2) * (w + 1) * 2 * c * 2 * n,
+            bytes_accessed=(x.size * x.dtype.itemsize
+                            + b * h_out * (w + 1) * n * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, k2, bias_t)

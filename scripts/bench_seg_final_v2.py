@@ -99,6 +99,20 @@ def main():
     timed("c) z-split with f32 accum",
           lambda x: zsplit_argmax(x, k, bias, acc_dtype=jnp.float32), x)
 
+    from hydranet_tpu.ops.fused_upsample_conv import _phase_argmax_interleave
+    from hydranet_tpu.ops.pallas_seg_final import phase_logits_pallas
+
+    def pallas_argmax(x):
+        y = phase_logits_pallas(x, k, bias)
+        return _phase_argmax_interleave(y, B, H, W, NCLS)
+
+    wantp = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
+    gotp = np.asarray(pallas_argmax(x[:2]))
+    print(f"pallas vs shipped argmax agreement: {(wantp == gotp).mean():.6f}")
+    timed("d) pallas VMEM-resident z-split + argmax", pallas_argmax, x)
+    timed("e) pallas kernel alone (phase logits out)",
+          lambda x: phase_logits_pallas(x, k, bias), x)
+
 
 if __name__ == "__main__":
     main()

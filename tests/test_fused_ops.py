@@ -95,3 +95,19 @@ def test_zsplit_train_form_gradients():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gk_g), np.asarray(gk_w),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_seg_final_matches_zsplit():
+    """The VMEM-resident z-split kernel (interpret mode) is bit-identical
+    to the XLA z-split phase logits."""
+    from hydranet_tpu.ops.fused_upsample_conv import _phase_logits_zsplit
+    from hydranet_tpu.ops.pallas_seg_final import phase_logits_pallas
+
+    rng = np.random.RandomState(9)
+    for h, w in [(20, 16), (12, 24)]:
+        x = jnp.asarray(rng.randn(2, h, w, 64).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 64, 5).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(5).astype(np.float32) * 0.1)
+        want = np.asarray(_phase_logits_zsplit(x, k, b))
+        got = np.asarray(phase_logits_pallas(x, k, b, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
