@@ -92,7 +92,9 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     n = 4 * cout
     assert supports(x.shape, cout), (x.shape, cout)
 
-    pk = _phase_kernels(kernel).astype(jnp.float32)     # [2, 2, 64, n]
+    # weights in x.dtype (same operand precision as the XLA phase conv;
+    # the dot still accumulates f32 via preferred_element_type)
+    pk = _phase_kernels(kernel).astype(x.dtype)         # [2, 2, 64, n]
     # [(v, cin)=128, (u, pc)=2n]
     k2 = jnp.concatenate([pk[0], pk[1]], axis=-1).reshape(2 * c, 2 * n)
     bias_t = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, n)
