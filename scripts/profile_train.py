@@ -131,6 +131,8 @@ def main():
     print(f"  -> losses {t_fl - t_f:.1f} ms, backward {t_fb - t_fl:.1f} ms, "
           f"optimizer+mask {t_full - t_fb:.1f} ms")
 
+    if "--heads" not in sys.argv:
+        return
     for head, off in [("seg", "train_seg"), ("det", "train_detect"),
                       ("lane", "train_lane")]:
         d = {k: (dict(v) if isinstance(v, dict) else v)
