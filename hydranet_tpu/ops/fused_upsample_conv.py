@@ -195,7 +195,9 @@ def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
       tiny batch (bs1 320^2 64->5: 4.8 ms dilated vs 1.6 ms phase — the
       interleave transpose is negligible at bs1 sizes).
     Both exact to float associativity vs the reference composition
-    (tests/test_fused_ops.py covers both)."""
+    (tests/test_fused_ops.py covers both). A third exact formulation —
+    the z-split for tiny Cout — is opt-in via HN_ZSPLIT=1 (measured
+    negative in XLA, see _phase_logits_zsplit)."""
     cout = kernel.shape[-1]
     if (x.shape[0] >= 8 and cout <= 8
             and os.environ.get("HN_ZSPLIT", "0") == "1"):
