@@ -48,6 +48,13 @@ class TrainCfg:
     # "float32" (reference-faithful default) or "bfloat16" (TPU-fast
     # compute; params/optimizer state stay f32 — the bench_train policy)
     compute_dtype: str = "float32"
+    # Precise-BN: before each validation, re-estimate BN population stats
+    # over this many training batches (0 = off, use EMA running stats like
+    # the reference). The neck/det-head BNs run torch momentum 0.01
+    # (reference common.py:98) and need ~500 steps for the EMA to leave its
+    # (0,1) init; on shorter runs eval-mode collapses while train-mode is
+    # fine. Precise-BN removes the lag (see parallel/train_step.py).
+    precise_bn_batches: int = 0
 
 
 @dataclass(frozen=True)

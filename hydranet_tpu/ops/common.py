@@ -69,7 +69,22 @@ class TorchBatchNorm(nn.Module):
             dtype=self.dtype,
             name="bn",
         )
-        return bn(x)
+        y = bn(x)
+        if train and self.is_mutable_collection("bn_stats"):
+            # Precise-BN support: expose the PURE batch statistics (f32,
+            # momentum-free) so population stats can be re-estimated over K
+            # batches before eval — see parallel/train_step.py
+            # precise_bn_stats. Needed because torch momentum 0.01 (neck /
+            # det head) takes ~500 optimizer steps to converge; short runs
+            # evaluate with running stats still near their init otherwise.
+            xf = jnp.asarray(x, jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            keep = lambda _, v: v  # noqa: E731 — overwrite, don't append
+            self.sow("bn_stats", "mean", jnp.mean(xf, axis=axes),
+                     reduce_fn=keep, init_fn=tuple)
+            self.sow("bn_stats", "meansq", jnp.mean(jnp.square(xf), axis=axes),
+                     reduce_fn=keep, init_fn=tuple)
+        return y
 
 
 class SamePadConv(nn.Module):

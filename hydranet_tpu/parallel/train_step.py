@@ -109,6 +109,93 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=donate_args)
 
 
+def make_precise_bn_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted forward that returns the PURE per-batch BN statistics
+    (mean, E[x^2]) sown by TorchBatchNorm under the "bn_stats" collection.
+
+    Precise-BN: the neck/det-head BNs run torch momentum 0.01
+    (/root/reference/model/net/common.py:98), so their running stats need
+    ~500 optimizer steps to leave their (0, 1) init. On short runs eval-mode
+    activations are squashed by the stale running var at every BN and the
+    stacked BiFPN cascades the error into a lane/det collapse — while
+    train-mode forward is fine. Re-estimating population stats over K batches
+    right before validation (the "precise BN" recipe) removes the EMA lag
+    entirely; it is strictly a better estimate of the population statistics
+    than any momentum schedule.
+    """
+
+    def stats_fn(params: Any, batch_stats: Any, image: jnp.ndarray):
+        _, muts = model.apply(
+            {"params": params, "batch_stats": batch_stats}, image,
+            train=True, mutable=["batch_stats", "bn_stats"])
+        # batch_stats mutation (the EMA update) is discarded on purpose —
+        # only the momentum-free statistics leave the program.
+        return muts["bn_stats"]
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(stats_fn, in_shardings=(repl, repl, data),
+                       out_shardings=repl)
+    return jax.jit(stats_fn)
+
+
+def merge_precise_bn(batch_stats: Any, bn_stats_avg: Any) -> Any:
+    """Overwrite the running (mean, var) leaves of `batch_stats` with
+    population stats from averaged pure batch statistics.
+
+    `bn_stats_avg` holds, at each TorchBatchNorm scope, {"mean": avg of batch
+    means, "meansq": avg of batch E[x^2]}; the matching `batch_stats` scope
+    holds {"bn": {"mean", "var"}}. With equal-size batches
+    var = avg(meansq) - avg(mean)^2 is exactly the biased variance of the
+    pooled sample, the same estimator flax's BatchNorm EMA tracks.
+    """
+
+    def rec(bs, st):
+        if isinstance(st, dict) and set(st.keys()) == {"mean", "meansq"} \
+                and not isinstance(st["mean"], dict):
+            m = jnp.asarray(st["mean"], jnp.float32)
+            var = jnp.maximum(
+                jnp.asarray(st["meansq"], jnp.float32) - m * m, 0.0)
+            inner = dict(bs["bn"])
+            inner["mean"] = m.astype(jnp.asarray(bs["bn"]["mean"]).dtype)
+            inner["var"] = var.astype(jnp.asarray(bs["bn"]["var"]).dtype)
+            out = dict(bs)
+            out["bn"] = inner
+            return out
+        if isinstance(st, dict):
+            out = dict(bs)
+            for k, v in st.items():
+                out[k] = rec(bs[k], v)
+            return out
+        return bs
+
+    try:  # FrozenDict-compatible (older flax return types)
+        from flax.core import unfreeze
+        batch_stats = unfreeze(batch_stats)
+        bn_stats_avg = unfreeze(bn_stats_avg)
+    except Exception:
+        pass
+    return rec(batch_stats, bn_stats_avg)
+
+
+def run_precise_bn(precise_step: Callable, params: Any, batch_stats: Any,
+                   images) -> Any:
+    """Accumulate pure BN stats over an iterable of image batches and return
+    `batch_stats` with running stats replaced by the population estimate."""
+    acc = None
+    count = 0
+    for image in images:
+        stats = precise_step(params, batch_stats, image)
+        acc = stats if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, stats)
+        count += 1
+    if acc is None:
+        return batch_stats
+    avg = jax.tree_util.tree_map(lambda a: a / count, acc)
+    return merge_precise_bn(batch_stats, avg)
+
+
 def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
     """Jitted eval step: forward (running BN stats) + losses."""
 

@@ -36,7 +36,8 @@ from hydranet_tpu.metrics.seg_metrics import IntersectionOverUnion
 from hydranet_tpu.models.hydranet import HydraNet
 from hydranet_tpu.parallel.mesh import make_mesh
 from hydranet_tpu.parallel.train_step import (
-    TrainState, all_trainable, head_mask, make_eval_step, make_train_step)
+    TrainState, all_trainable, head_mask, make_eval_step,
+    make_precise_bn_step, make_train_step, run_precise_bn)
 from hydranet_tpu.train.checkpoint import (
     import_torch_weights, restore_checkpoint, save_checkpoint)
 from hydranet_tpu.train.optimizer import cosine_annealing_lr, make_optimizer
@@ -111,6 +112,9 @@ class HydraTrainer:
 
         self.train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.precise_bn_step = (
+            make_precise_bn_step(self.model, mesh=self.mesh)
+            if cfg.train.precise_bn_batches > 0 else None)
         self._mask_all = all_trainable(self.state.params)
 
         # metrics — train.py:172-189
@@ -246,9 +250,28 @@ class HydraTrainer:
 
     # ------------------------------------------------------------------ valid
 
+    def _precise_bn(self):
+        """Re-estimate BN population stats over K training batches and store
+        them in state (precise-BN; see parallel/train_step.py). The stored
+        stats are strictly better estimates than the EMA they replace, so
+        subsequent training/checkpoints keep them too."""
+        k = self.cfg.train.precise_bn_batches
+
+        def images():
+            for i, batch in enumerate(self.trainloader):
+                if i >= k:
+                    return
+                yield jnp.asarray(batch["image"])
+
+        new_bs = run_precise_bn(self.precise_bn_step, self.state.params,
+                                self.state.batch_stats, images())
+        self.state = self.state._replace(batch_stats=new_bs)
+
     def valid(self, epoch: int):
         cfg = self.cfg
         h, w = cfg.input_hw
+        if self.precise_bn_step is not None:
+            self._precise_bn()
         detect_result: List[Dict] = []
         lane_result: List[Dict] = []
         n = len(self.validloader)

@@ -21,6 +21,7 @@ def test_fit_one_epoch(tmp_path):
     d["dataloader"]["with_aug"] = False
     d["train"].update(dict(epoch=1, batch_size_train=2, batch_size_valid=2,
                            lr=1e-4, fine_tuning=False,
+                           precise_bn_batches=1,  # exercise precise-BN path
                            logs=str(tmp_path / "logs")))
     cfg = Config.from_dict(d)
 
