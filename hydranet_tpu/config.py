@@ -48,6 +48,12 @@ class TrainCfg:
     # "float32" (reference-faithful default) or "bfloat16" (TPU-fast
     # compute; params/optimizer state stay f32 — the bench_train policy)
     compute_dtype: str = "float32"
+    # Resume a previous run from an orbax checkpoint directory written by
+    # save_checkpoint (restores params + batch_stats + optimizer state +
+    # step; training continues at step//iters_per_epoch — unlike the
+    # reference, which reloads weights only and restarts its LR schedule,
+    # train.py:95-126).
+    resume_from: str = ""
     # Precise-BN: before each validation, re-estimate BN population stats
     # over this many training batches (0 = off, use EMA running stats like
     # the reference). The neck/det-head BNs run torch momentum 0.01

@@ -109,6 +109,14 @@ class HydraTrainer:
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32))
+        self.start_epoch = 0
+        if cfg.train.resume_from:
+            self.state = restore_checkpoint(
+                cfg.train.resume_from, target=jax.device_get(self.state))
+            self.start_epoch = (int(self.state.step)
+                                // max(1, len(self.trainloader)))
+            print(f"resumed from {cfg.train.resume_from} "
+                  f"(step {int(self.state.step)} -> epoch {self.start_epoch})")
 
         self.train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
@@ -312,8 +320,9 @@ class HydraTrainer:
                             image_id=image_id,
                             category_id=int(classes[bi, k]) + 1,
                             score=float(scores[bi, k]),
-                            bbox=[x1 / sx, y1 / sy, (x2 - x1) / sx,
-                                  (y2 - y1) / sy]))
+                            bbox=[float(x1) / sx, float(y1) / sy,
+                                  float(x2 - x1) / sx,
+                                  float(y2 - y1) / sy]))
 
             if self.train_lane:
                 lanes = self._decode_lane(outputs["lane"]["predict_cls"],
@@ -375,7 +384,7 @@ class HydraTrainer:
 
     def fit(self):
         """Full training run — train.py:441-515."""
-        for epoch in range(self.epoch):
+        for epoch in range(self.start_epoch, self.epoch):
             self.train_one_epoch(epoch)
             print(f"=================== VALIDATION {epoch} ===================")
             self.valid(epoch)

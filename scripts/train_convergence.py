@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--out", default="artifacts/convergence_metrics.jsonl")
     ap.add_argument("--config",
                     default="configs/hydranet_convergence_procedural.yml")
+    ap.add_argument("--resume", default="",
+                    help="orbax checkpoint dir (epoch_N) to resume from")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "list", "train.txt")):
@@ -54,12 +56,14 @@ def main():
     if args.epochs is not None:
         d["train"]["epoch"] = args.epochs
     d["dataloader"]["data_list"] = os.path.join(args.data, "list")
+    if args.resume:
+        d["train"]["resume_from"] = args.resume
     cfg = Config.from_dict(d)
 
     trainer = HydraTrainer(cfg, cfg_path=args.config)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     t0 = time.time()
-    for epoch in range(cfg.train.epoch):
+    for epoch in range(trainer.start_epoch, cfg.train.epoch):
         trainer.train_one_epoch(epoch)
         summary = trainer.valid(epoch)
         row = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),

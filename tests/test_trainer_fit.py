@@ -4,6 +4,7 @@ training + validation with all three metrics and a checkpoint written."""
 import glob
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -34,3 +35,16 @@ def test_fit_one_epoch(tmp_path):
     # detection AP present when the synthetic GT json machinery found labels
     ckpts = glob.glob(os.path.join(trainer.model_save_dir, "epoch_0*"))
     assert ckpts, "checkpoint not written"
+
+    # resume: a fresh trainer with train.resume_from restores the full
+    # TrainState (params + opt state + step) and continues at the next epoch
+    d["train"]["resume_from"] = ckpts[0]
+    d["train"]["epoch"] = 2
+    trainer2 = HydraTrainer(Config.from_dict(d), use_mesh=False)
+    assert trainer2.start_epoch == 1
+    a = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(trainer2.state.params)[0])
+    np.testing.assert_array_equal(a, b)
+    assert int(trainer2.state.step) == int(trainer.state.step)
+    trainer2.train_one_epoch(1)  # one more epoch runs from the resumed state
+    assert int(trainer2.state.step) > int(trainer.state.step)
