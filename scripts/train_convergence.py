@@ -28,6 +28,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
 
+def latest_checkpoint(logs_dir: str) -> str:
+    """Newest epoch_N orbax checkpoint under logs_dir/model, or ''."""
+    model_dir = os.path.join(logs_dir, "model")
+    if not os.path.isdir(model_dir):
+        return ""
+    epochs = sorted((int(n.split("_")[1]), n)
+                    for n in os.listdir(model_dir)
+                    if n.startswith("epoch_"))
+    return os.path.join(model_dir, epochs[-1][1]) if epochs else ""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None,
@@ -52,25 +63,41 @@ def main():
     from hydranet_tpu.config import Config, load_config
     from hydranet_tpu.train.trainer import HydraTrainer
 
-    d = load_config(args.config).to_dict()
-    if args.epochs is not None:
-        d["train"]["epoch"] = args.epochs
-    d["dataloader"]["data_list"] = os.path.join(args.data, "list")
-    if args.resume:
-        d["train"]["resume_from"] = args.resume
-    cfg = Config.from_dict(d)
+    def build_trainer(resume: str) -> "HydraTrainer":
+        d = load_config(args.config).to_dict()
+        if args.epochs is not None:
+            d["train"]["epoch"] = args.epochs
+        d["dataloader"]["data_list"] = os.path.join(args.data, "list")
+        if resume:
+            d["train"]["resume_from"] = resume
+        return HydraTrainer(Config.from_dict(d), cfg_path=args.config)
 
-    trainer = HydraTrainer(cfg, cfg_path=args.config)
+    trainer = build_trainer(args.resume)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     t0 = time.time()
-    for epoch in range(trainer.start_epoch, cfg.train.epoch):
-        trainer.train_one_epoch(epoch)
-        summary = trainer.valid(epoch)
+    epoch, retries = trainer.start_epoch, 0
+    while epoch < trainer.epoch:
+        try:
+            trainer.train_one_epoch(epoch)
+            summary = trainer.valid(epoch)
+        except Exception as e:  # tunnel/TPU transient: resume from last ckpt
+            retries += 1
+            if retries > 8:
+                raise
+            print(f"epoch {epoch} failed ({type(e).__name__}: {e}); "
+                  f"retry {retries}/8 in 120 s from last checkpoint",
+                  flush=True)
+            time.sleep(120)
+            trainer = build_trainer(
+                latest_checkpoint(trainer.cfg.train.logs))
+            epoch = trainer.start_epoch
+            continue
         row = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
                **{k: round(float(v), 4) for k, v in summary.items()}}
         with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")
         print("EPOCH SUMMARY:", json.dumps(row), flush=True)
+        epoch += 1
     print("done")
 
 
