@@ -60,7 +60,13 @@ class LaneCodec:
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Annotation dict {"Lines": [[{x, y}, ...], ...]} -> (gt_type
         [feature_size, 2], gt_loc [feature_size, 2*ppl+2]) —
-        reference lane_codec.py:53-114."""
+        reference lane_codec.py:53-114.
+
+        NOTE: offsets are returned in RAW PIXELS (reference convention).
+        Under scale_invariance the training targets and `decode_lanes`
+        both use offsets / interval — the dataset applies that division
+        after this call (data/dataset.py:160-164); feeding raw encoder
+        output straight to the decoder mis-scales every x by `interval`."""
         s_x = self.input_width / float(org_width)
         s_y = self.input_height / float(org_height)
         lanes = self._scaled_lane_list(lane_object, s_x, s_y)
