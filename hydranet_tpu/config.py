@@ -118,6 +118,11 @@ class DetectionCfg:
     # shapes on host — detection_loss.py:70-108. Fixed sizes keep NMS on-device.)
     pre_nms_top_k: int = 1000
     max_detections: int = 100
+    # Validation-decode score threshold. Default 0.3 mirrors the reference's
+    # val loop (train.py:318 conf_thres=0.3). COCO-convention evaluation
+    # wants ~0.05: focal-loss score calibration keeps true-positive scores
+    # low for many epochs, so 0.3 silently caps AR/mAP early in training.
+    eval_score_threshold: float = 0.3
     # hydranet_tpu extension: jax.lax.approx_max_k for the pre-NMS top-k
     # preselection (~3.5x faster selection, ~14 ms/batch128; preselection
     # recall ~0.95 — final detections are near-identical because true

@@ -163,7 +163,7 @@ class HydraTrainer:
         def _decode_det(anchors, regression, classification):
             return det_ops.postprocess(
                 anchors, regression, classification, cfg.input_hw,
-                score_threshold=0.3, iou_threshold=0.3,
+                score_threshold=cfg_d.eval_score_threshold, iou_threshold=0.3,
                 pre_nms_top_k=cfg_d.pre_nms_top_k,
                 max_detections=cfg_d.max_detections)
 
