@@ -47,8 +47,12 @@ def main():
     x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 
+    # HN_QUANT=int8: serve the PTQ-quantized pipeline (ops/quantize.py);
+    # calibration runs below once the bench frames exist.
+    quant = os.environ.get("HN_QUANT", "off")
     pipe = InferencePipeline(cfg, variables, batch_size=BATCH,
-                             input_hw=DEMO_HW, compute_dtype=jnp.bfloat16)
+                             input_hw=DEMO_HW, compute_dtype=jnp.bfloat16,
+                             quant=quant)
 
     # real demo frame when the committed fixture is present (preprocess sees
     # realistic content, not noise); random noise as fallback
@@ -66,6 +70,9 @@ def main():
         frames = rng.randint(0, 255, size=(BATCH, *DEMO_HW, 3),
                              dtype=np.uint8)
     frames_dev = jax.device_put(jnp.asarray(frames))
+
+    if quant == "int8":
+        pipe.calibrate([frames])  # content-realistic scales from the fixture
 
     # tiny digest forces completion of everything it depends on
     digest = jax.jit(lambda r: jnp.sum(r["detections"].scores)
@@ -96,7 +103,8 @@ def main():
 
     print(json.dumps({
         "metric": ("frames/sec/chip, full 3-head pipeline e2e "
-                   f"(1080p in, 640x640 net, bs{BATCH}, bf16, preprocess+"
+                   f"(1080p in, 640x640 net, bs{BATCH}, "
+                   f"{'int8-PTQ' if quant == 'int8' else 'bf16'}, preprocess+"
                    "forward+det NMS+seg argmax+lane decode/NMS on device); "
                    f"p50 batch latency {p50_batch_ms:.1f} ms "
                    f"({p50_batch_ms / BATCH:.2f} ms/frame)"),

@@ -90,7 +90,15 @@ class InferencePipeline:
                  compute_dtype=jnp.bfloat16,
                  det_conf_thres: float = 0.4, det_iou_thres: float = 0.3,
                  lane_conf_thres: float = 0.9, lane_nms_thres: float = 80.0,
-                 mesh=None):
+                 mesh=None, quant: str = "off"):
+        """quant: 'off' (default) or 'int8' — serving-path post-training
+        quantization (ops/quantize.py). 'int8' needs calibrated activation
+        scales: either pass an `act_stats` collection inside `variables`
+        or call `calibrate(frame_batches)` before the first inference."""
+        from hydranet_tpu.ops import quantize as qz
+
+        assert quant in ("off", "int8"), quant
+        self.quant = quant
         self.cfg = cfg
         self.variables = variables
         self.batch_size = batch_size
@@ -111,8 +119,11 @@ class InferencePipeline:
             # full-res logits never exist) — segmentation decode fused into
             # the forward, as the reference's deploy graph inlines argmax
             # (model.py:193-198).
-            out = self.model.apply(variables, x, train=False,
-                                   seg_argmax=True)
+            # quant_mode is a trace-time switch: it must wrap the apply's
+            # BODY (jit traces lazily on first call, not at construction).
+            with qz.quant_mode("int8" if self.quant == "int8" else "off"):
+                out = self.model.apply(variables, x, train=False,
+                                       seg_argmax=True)
             results: Dict[str, Any] = {}
             if cfg.train.train_seg:
                 results["seg"] = out["seg"]
@@ -165,8 +176,43 @@ class InferencePipeline:
         else:
             self._run = jax.jit(run)
 
+    def calibrate(self, frame_batches) -> Dict[str, Any]:
+        """PTQ calibration: run `frame_batches` (iterable of uint8 RGB
+        [B, H0, W0, 3]) through the float model collecting per-conv input
+        absmax into the `act_stats` collection, reduced with max across
+        batches. Stores the result into `self.variables` (so a subsequent
+        quant='int8' pipeline built from them serves quantized) and
+        returns it."""
+        from hydranet_tpu.ops import quantize as qz
+
+        def calib_run(variables, frames):
+            x = preprocess_images(frames, self.net_hw,
+                                  dtype=self.compute_dtype,
+                                  allow_pallas=False)
+            with qz.quant_mode("calibrate"):
+                _, st = self.model.apply(variables, x, train=False,
+                                         seg_argmax=True,
+                                         mutable=["act_stats"])
+            return st["act_stats"]
+
+        fn = jax.jit(calib_run)
+        acc = None
+        base = {k: v for k, v in self.variables.items() if k != "act_stats"}
+        for frames in frame_batches:
+            st = jax.device_get(fn(base, jnp.asarray(frames)))
+            acc = st if acc is None else jax.tree_util.tree_map(
+                np.maximum, acc, st)
+        assert acc is not None, "calibrate() needs at least one batch"
+        self.variables = {**self.variables, "act_stats": acc}
+        return acc
+
     def __call__(self, frames: np.ndarray) -> Dict[str, Any]:
         """frames: uint8 RGB [B, H0, W0, 3] (B == batch_size)."""
+        if self.quant == "int8" and "act_stats" not in self.variables:
+            raise RuntimeError(
+                "quant='int8' needs calibrated activation scales: call "
+                "calibrate(frame_batches) first or pass an 'act_stats' "
+                "collection in variables")
         return self._run(self.variables, jnp.asarray(frames))
 
     def stream(self, frame_batches, depth: int = 2):

@@ -59,6 +59,31 @@ class FastConv(nn.Module):
         # (measured 501 vs 591 fps e2e) — so it is opt-in per conv.
         import os
 
+        # Serving-path int8 PTQ (ops/quantize.py). Trace-time mode switch:
+        # 'calibrate' sows the input absmax; 'int8' replaces the conv with
+        # s8 x s8 -> s32 + fused dequant, using the calibrated scale.
+        from hydranet_tpu.ops import quantize as qz
+
+        qmode = qz.current_mode()
+        if qmode != "off" and qz.conv_eligible(self.path, in_features,
+                                               self.feature_group_count):
+            if qmode == "calibrate":
+                if self.is_mutable_collection("act_stats"):
+                    keep_max = jnp.maximum
+                    self.sow("act_stats", "absmax",
+                             jnp.max(jnp.abs(x)).astype(jnp.float32),
+                             reduce_fn=keep_max,
+                             init_fn=lambda: jnp.zeros((), jnp.float32))
+            elif self.has_variable("act_stats", "absmax"):
+                absmax = self.get_variable("act_stats", "absmax")
+                y = qz.int8_conv(x, kernel, absmax, self.strides,
+                                 self.padding, dtype)
+                if self.use_bias:
+                    bias = self.param("bias", self.bias_init,
+                                      (self.features,))
+                    y = y + bias.astype(dtype)
+                return y
+
         use_mxu = (tpu_backend()
                    and os.environ.get("HN_USE_PALLAS_CONV", "0") == "1")
         xp = self._pad_for_mxu_kernel(x) if use_mxu else None
