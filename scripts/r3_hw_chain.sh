@@ -32,12 +32,17 @@ HN_PALLAS_SEGFINAL=1 timeout 1800 python -u bench.py \
 echo "[chain] pallas-bench exit=$? at $(date)"
 sleep 100
 
-echo "[chain] 4/5 fresh baseline bench"
+echo "[chain] 4/6 fresh baseline bench"
 timeout 1800 python -u bench.py > artifacts/bench_r3.log 2>&1
 echo "[chain] baseline-bench exit=$? at $(date)"
 sleep 100
 
-echo "[chain] 5/5 convergence run (40 epochs, lane_weight 1.0, precise-BN, eval thr 0.05)"
+echo "[chain] 5/6 int8-PTQ bench"
+HN_QUANT=int8 timeout 2400 python -u bench.py > artifacts/bench_int8.log 2>&1
+echo "[chain] int8-bench exit=$? at $(date)"
+sleep 100
+
+echo "[chain] 6/6 convergence run (40 epochs, lane_weight 1.0, precise-BN, eval thr 0.05)"
 python -u scripts/train_convergence.py --out artifacts/convergence_metrics_r3b.jsonl \
   > artifacts/train_convergence_r3b.log 2>&1
 echo "[chain] convergence exit=$? at $(date)"
