@@ -114,6 +114,10 @@ class _FusedUpConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x_low, skip=None):
+        from hydranet_tpu.ops import quantize as qz
+        from hydranet_tpu.ops.fused_upsample_conv import (
+            upsample2x_reflect_conv3x3_int8)
+
         c_up = x_low.shape[-1]
         c_in = c_up + (skip.shape[-1] if skip is not None else 0)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -122,6 +126,39 @@ class _FusedUpConv3x3(nn.Module):
         dtype = self.dtype or x_low.dtype
         k = kernel.astype(dtype)
         x_low = x_low.astype(dtype)
+
+        # Serving-path int8 PTQ (ops/quantize.py): the upsample and skip
+        # branches carry separate calibrated scales ('absmax' /
+        # 'absmax_skip'). Quantization happens on the COLLAPSED kernels
+        # inside the int8 variant — see upsample2x_reflect_conv3x3_int8.
+        qmode = qz.current_mode()
+        quantized = (qmode != "off"
+                     and qz.conv_eligible(self.path, c_up, 1))
+        if quantized and qmode == "calibrate":
+            if self.is_mutable_collection("act_stats"):
+                zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+                self.sow("act_stats", "absmax",
+                         jnp.max(jnp.abs(x_low)).astype(jnp.float32),
+                         reduce_fn=jnp.maximum, init_fn=zero)
+                if skip is not None:
+                    self.sow("act_stats", "absmax_skip",
+                             jnp.max(jnp.abs(skip)).astype(jnp.float32),
+                             reduce_fn=jnp.maximum, init_fn=zero)
+        elif quantized and qmode == "int8" \
+                and self.has_variable("act_stats", "absmax"):
+            out = upsample2x_reflect_conv3x3_int8(
+                x_low, k[:, :, :c_up],
+                self.get_variable("act_stats", "absmax"), dtype)
+            if skip is not None:
+                sp = jnp.pad(skip.astype(dtype),
+                             ((0, 0), (1, 1), (1, 1), (0, 0)),
+                             mode="reflect")
+                out = out + qz.int8_conv(
+                    sp, k[:, :, c_up:],
+                    self.get_variable("act_stats", "absmax_skip"),
+                    (1, 1), "VALID", dtype)
+            return out + bias.astype(dtype)
+
         out = upsample2x_reflect_conv3x3(x_low, k[:, :, :c_up])
         if skip is not None:
             sp = jnp.pad(skip.astype(dtype),

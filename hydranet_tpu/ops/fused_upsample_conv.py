@@ -180,6 +180,49 @@ def _phase_argmax_interleave(y, b, h, w, cout):
     return a.astype(jnp.int32)
 
 
+def upsample2x_reflect_conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray,
+                                    absmax: jnp.ndarray,
+                                    out_dtype) -> jnp.ndarray:
+    """int8-PTQ variant of upsample2x_reflect_conv3x3 (ops/quantize.py).
+
+    The kernel is phase/tap-COLLAPSED in float first (collapsing sums taps;
+    summing after quantization would overflow int8 and lose exactness of
+    the collapse), then quantized per output channel; x is quantized
+    per-tensor from the calibrated absmax. Edge-padding and the
+    lhs-dilation zeros are exact on int8 values, so the integer conv sees
+    the same formulation the float path uses at this batch size."""
+    from hydranet_tpu.ops import quantize as qz
+
+    x_q, s_x = qz.quantize_activation(x, absmax)
+    if x.shape[0] >= 8:
+        pk = _composed_4tap_kernel(kernel.astype(jnp.float32))
+        w_q, s_w = qz.quantize_weight(pk)
+        xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        y = jax.lax.conv_general_dilated(
+            xp, w_q, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
+    b, h, w, _ = x.shape
+    cout = kernel.shape[-1]
+    pk = _phase_kernels(kernel.astype(jnp.float32))
+    w_q, s_w = qz.quantize_weight(pk)  # per phase-channel scale
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, w_q, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = (y.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
+    y00 = y[:, :-1, :-1, 0 * cout:1 * cout]
+    y01 = y[:, :-1, 1:, 1 * cout:2 * cout]
+    y10 = y[:, 1:, :-1, 2 * cout:3 * cout]
+    y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
+    out = jnp.stack([y00, y01, y10, y11], axis=-2)
+    out = out.reshape(b, h, w, 2, 2, cout)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+
+
 def upsample2x_reflect_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                                bias: Optional[jnp.ndarray] = None
                                ) -> jnp.ndarray:

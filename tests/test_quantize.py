@@ -30,6 +30,25 @@ def test_int8_conv_matches_float():
                        np.asarray(want).ravel())[0, 1] > 0.999
 
 
+@pytest.mark.parametrize("batch", [2, 8])  # phase form vs dilated form
+def test_int8_upconv_matches_float(batch):
+    from hydranet_tpu.ops.fused_upsample_conv import (
+        upsample2x_reflect_conv3x3, upsample2x_reflect_conv3x3_int8)
+
+    rng = np.random.RandomState(batch)
+    x = jnp.asarray(rng.randn(batch, 10, 12, 32).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.randn(3, 3, 32, 24).astype(np.float32))
+    want = upsample2x_reflect_conv3x3(x, k)
+    got = upsample2x_reflect_conv3x3_int8(x, k, jnp.max(jnp.abs(x)),
+                                          jnp.float32)
+    assert got.shape == want.shape
+    err = np.abs(np.asarray(got - want))
+    ref = np.abs(np.asarray(want)).mean()
+    assert err.mean() < 0.02 * ref
+    assert np.corrcoef(np.asarray(got).ravel(),
+                       np.asarray(want).ravel())[0, 1] > 0.999
+
+
 def test_eligibility_rules():
     assert qz.conv_eligible(("backbone", "s1", "conv"), 64, 1)
     assert not qz.conv_eligible(("x", "conv"), 64, 64)        # depthwise
