@@ -98,6 +98,24 @@ def test_int8_pipeline_agrees_with_float(float_and_int8_pipes):
     assert np.isfinite(boxes).all()
 
 
+def test_mesh_sharded_int8_inference(float_and_int8_pipes):
+    """The quantized pipeline partitions over the 8-device mesh: act_stats
+    replicate with the weights and the s8xs8->s32 convs shard on batch."""
+    from hydranet_tpu.parallel.mesh import make_mesh
+
+    fp, qp, _ = float_and_int8_pipes
+    mesh = make_mesh()
+    p8 = InferencePipeline(fp.cfg, qp.variables, batch_size=8,
+                           input_hw=(128, 128), compute_dtype=jnp.float32,
+                           mesh=mesh, quant="int8")
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 255, (8, 128, 128, 3), np.uint8)
+    sharded = p8(frames)
+    want = qp(frames[:2])
+    np.testing.assert_array_equal(np.asarray(sharded["seg"][:2]),
+                                  np.asarray(want["seg"]))
+
+
 def test_int8_without_calibration_raises():
     cfg = small_config()
     model = HydraNet(cfg=cfg)
