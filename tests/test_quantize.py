@@ -116,6 +116,26 @@ def test_mesh_sharded_int8_inference(float_and_int8_pipes):
                                   np.asarray(want["seg"]))
 
 
+def test_int8_export_reload_roundtrip(tmp_path, float_and_int8_pipes):
+    """The quantized pipeline exports to StableHLO (int8 convs inline) and
+    reloads bit-identically — the C++ PJRT deploy path consumes the same
+    artifact format."""
+    import os
+
+    from hydranet_tpu.inference import load_stablehlo
+
+    _, qp, _ = float_and_int8_pipes
+    path = os.path.join(str(tmp_path), "pipe_int8.stablehlo")
+    qp.export_stablehlo(path)
+    call = load_stablehlo(path)
+    rng = np.random.RandomState(11)
+    frames = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3), np.uint8))
+    want = qp(frames)
+    got = call(qp.variables, frames)
+    np.testing.assert_array_equal(np.asarray(got["seg"]),
+                                  np.asarray(want["seg"]))
+
+
 def test_int8_without_calibration_raises():
     cfg = small_config()
     model = HydraNet(cfg=cfg)
