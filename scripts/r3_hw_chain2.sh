@@ -19,10 +19,16 @@ EOF
 )
 echo "[chain2] ckpt: $CKPT"
 if [ -n "$CKPT" ]; then
+  # small val-image subset for the overlay demo
+  mkdir -p /tmp/demo_val_imgs
+  head -8 artifacts/procedural_data/list/valid.txt | while read -r p; do
+    cp "artifacts/procedural_data/$p" /tmp/demo_val_imgs/ 2>/dev/null \
+      || cp "$p" /tmp/demo_val_imgs/ 2>/dev/null || true
+  done
   timeout 1800 python -u -m hydranet_tpu.demo \
     --config configs/hydranet_convergence_procedural.yml \
     --checkpoint "$CKPT" \
-    --images artifacts/procedural_data/images_valid \
+    --images /tmp/demo_val_imgs \
     --out artifacts/demo_overlays_r3 \
     > artifacts/demo_overlays_r3.log 2>&1
   echo "[chain2] demo exit=$? at $(date)"
