@@ -138,11 +138,11 @@ class _FusedUpConv3x3(nn.Module):
             if self.is_mutable_collection("act_stats"):
                 zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
                 self.sow("act_stats", "absmax",
-                         jnp.max(jnp.abs(x_low)).astype(jnp.float32),
+                         qz.per_sample_absmax(x_low),
                          reduce_fn=jnp.maximum, init_fn=zero)
                 if skip is not None:
                     self.sow("act_stats", "absmax_skip",
-                             jnp.max(jnp.abs(skip)).astype(jnp.float32),
+                             qz.per_sample_absmax(skip),
                              reduce_fn=jnp.maximum, init_fn=zero)
         elif quantized and qmode == "int8" \
                 and self.has_variable("act_stats", "absmax"):

@@ -69,10 +69,11 @@ class FastConv(nn.Module):
                                                self.feature_group_count):
             if qmode == "calibrate":
                 if self.is_mutable_collection("act_stats"):
-                    keep_max = jnp.maximum
+                    # per-SAMPLE absmax [B]: lets calibrate() take a
+                    # percentile across samples (quantize.py)
                     self.sow("act_stats", "absmax",
-                             jnp.max(jnp.abs(x)).astype(jnp.float32),
-                             reduce_fn=keep_max,
+                             qz.per_sample_absmax(x),
+                             reduce_fn=jnp.maximum,
                              init_fn=lambda: jnp.zeros((), jnp.float32))
             elif self.has_variable("act_stats", "absmax"):
                 absmax = self.get_variable("act_stats", "absmax")

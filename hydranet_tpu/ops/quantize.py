@@ -74,6 +74,36 @@ def conv_eligible(path: Sequence[str], cin: int, groups: int) -> bool:
     return not any(s in joined for s in SKIP_PATH_SUBSTRINGS)
 
 
+def per_sample_absmax(x: jnp.ndarray) -> jnp.ndarray:
+    """max |x| over all non-batch axes -> [B] (f32).
+
+    Calibration sows this VECTOR rather than a scalar so the host can take
+    a percentile across calibration samples (absmax is driven by rare
+    activation spikes under ELU/swish; clipping the top fraction of
+    samples trades bounded saturation error for a finer quant step)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)),
+                   axis=tuple(range(1, x.ndim)))
+
+
+def reduce_calibration(batches, percentile: float = 100.0):
+    """Host-side reduction of sown per-sample absmax trees.
+
+    batches: list of act_stats trees whose leaves are [B] vectors (or
+    scalars from older collections). Returns one tree of SCALAR scales:
+    the `percentile`-th percentile across all calibration samples
+    (100.0 = exact absmax)."""
+    import numpy as np
+
+    flat = [jax.tree_util.tree_flatten(b) for b in batches]
+    treedef = flat[0][1]
+    leaves = []
+    for i in range(len(flat[0][0])):
+        vals = np.concatenate(
+            [np.atleast_1d(np.asarray(f[0][i], np.float32)) for f in flat])
+        leaves.append(np.float32(np.percentile(vals, percentile)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def quantize_weight(kernel: jnp.ndarray):
     """Per-output-channel symmetric int8. kernel: HWIO (f32/bf16).
 
@@ -89,7 +119,9 @@ def quantize_activation(x: jnp.ndarray, absmax: jnp.ndarray):
     """Per-tensor symmetric int8 from a calibrated absmax scalar.
 
     Returns (x_q int8, s_x f32 scalar)."""
-    s_x = jnp.maximum(absmax.astype(jnp.float32), 1e-12) / 127.0
+    # jnp.max: tolerate an un-reduced [B] per-sample vector as the scale
+    # source (calibrate() normally stores host-reduced scalars)
+    s_x = jnp.maximum(jnp.max(absmax.astype(jnp.float32)), 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
     return x_q.astype(jnp.int8), s_x
 

@@ -36,6 +36,9 @@ def main():
                     help="orbax epoch_N dir; default = newest in the "
                          "convergence logs")
     ap.add_argument("--calib-batches", type=int, default=8)
+    ap.add_argument("--calib-percentile", type=float, default=100.0,
+                    help="percentile across calibration samples for the "
+                         "activation scale (100 = absmax)")
     ap.add_argument("--bench", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (sitecustomize force-registers "
@@ -84,17 +87,16 @@ def main():
         return st["act_stats"]
 
     calib_jit = jax.jit(calib_fwd)
-    acc = None
+    batches = []
     for i, batch in enumerate(trainer.trainloader):
         if i >= args.calib_batches:
             break
-        st = jax.device_get(calib_jit(params, batch_stats,
-                                      jnp.asarray(batch["image"])))
-        acc = st if acc is None else jax.tree_util.tree_map(
-            np.maximum, acc, st)
+        batches.append(jax.device_get(
+            calib_jit(params, batch_stats, jnp.asarray(batch["image"]))))
+    acc = qz.reduce_calibration(batches, args.calib_percentile)
     n_scales = len(jax.tree_util.tree_leaves(acc))
     print(f"calibrated {n_scales} activation scales over "
-          f"{args.calib_batches} batches")
+          f"{len(batches)} batches (percentile {args.calib_percentile})")
 
     # ---- two forwards traced from the same function body ----
     def make_fwd(mode: str):

@@ -49,6 +49,32 @@ def test_int8_upconv_matches_float(batch):
                        np.asarray(want).ravel())[0, 1] > 0.999
 
 
+def test_per_sample_absmax_and_percentile_reduction():
+    """calibrate() sows per-sample absmax vectors; reduce_calibration at
+    percentile 100 reproduces the exact absmax (the old scalar semantics),
+    lower percentiles clip toward the bulk of the sample distribution."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 8, 8, 16).astype(np.float32))
+    per = np.asarray(qz.per_sample_absmax(x))
+    assert per.shape == (4,)
+    np.testing.assert_allclose(
+        per, np.abs(np.asarray(x)).max(axis=(1, 2, 3)), rtol=1e-6)
+
+    # two "batches" of sown stats for one conv, one with a spike sample
+    b1 = {"conv": {"absmax": np.array([1.0, 2.0, 3.0], np.float32)}}
+    b2 = {"conv": {"absmax": np.array([2.5, 50.0, 1.5], np.float32)}}
+    exact = qz.reduce_calibration([b1, b2], 100.0)
+    assert np.asarray(exact["conv"]["absmax"]).shape == ()
+    assert float(exact["conv"]["absmax"]) == 50.0
+    clipped = qz.reduce_calibration([b1, b2], 80.0)
+    assert 3.0 <= float(clipped["conv"]["absmax"]) < 50.0
+    # scalar leaves (older collections) still reduce
+    legacy = qz.reduce_calibration(
+        [{"c": {"absmax": np.float32(1.0)}},
+         {"c": {"absmax": np.float32(4.0)}}], 100.0)
+    assert float(legacy["c"]["absmax"]) == 4.0
+
+
 def test_eligibility_rules():
     assert qz.conv_eligible(("backbone", "s1", "conv"), 64, 1)
     assert not qz.conv_eligible(("x", "conv"), 64, 64)        # depthwise
