@@ -60,6 +60,16 @@ def main(argv=None):
                         help="export StableHLO artifact to this path and exit")
     parser.add_argument("--out", default="demo_vis")
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--quant", default="off", choices=["off", "int8"],
+                        help="serve the int8-PTQ pipeline (calibrates "
+                             "activation scales on the first frames)")
+    parser.add_argument("--calib-frames", type=int, default=8,
+                        help="frames used for int8 activation calibration")
+    parser.add_argument("--calib-percentile", type=float, default=100.0,
+                        help="percentile across calibration frames for the "
+                             "activation scale (100 = absmax)")
+    parser.add_argument("--calib-images", default="",
+                        help="image dir for --deploy int8 calibration")
     args = parser.parse_args(argv)
 
     import cv2
@@ -71,12 +81,44 @@ def main(argv=None):
     cfg = load_config(args.config)
     variables = load_variables(cfg, args.checkpoint)
 
+    def make_pipe(batch_size, input_hw, calib_batches=()):
+        """Float pipeline, or (with --quant int8) a PTQ pipeline whose
+        activation scales are calibrated on `calib_batches` (iterable of
+        uint8 RGB [B,H,W,3] at the pipeline's input resolution)."""
+        pipe = InferencePipeline(cfg, variables, batch_size=batch_size,
+                                 input_hw=input_hw)
+        if args.quant != "int8":
+            return pipe
+        calib_batches = list(calib_batches)
+        if not calib_batches:
+            raise SystemExit("--quant int8 needs calibration frames "
+                             "(none available at this resolution)")
+        pipe.calibrate(calib_batches, percentile=args.calib_percentile)
+        print(f"int8: calibrated on {len(calib_batches)} frame(s) at "
+              f"percentile {args.calib_percentile}")
+        return InferencePipeline(cfg, pipe.variables, batch_size=batch_size,
+                                 input_hw=input_hw, quant="int8")
+
     if args.deploy:
-        pipe = InferencePipeline(cfg, variables, batch_size=args.batch,
-                                 input_hw=(1080, 1920))
+        calib = []
+        if args.quant == "int8":
+            if not args.calib_images:
+                raise SystemExit("--deploy with --quant int8 needs "
+                                 "--calib-images DIR")
+            for name in sorted(os.listdir(args.calib_images)):
+                if len(calib) >= args.calib_frames:
+                    break
+                frame = cv2.imread(os.path.join(args.calib_images, name))
+                if frame is None:
+                    continue
+                frame = cv2.resize(frame, (1920, 1080))
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
+                calib.append(np.repeat(rgb, args.batch, axis=0))
+        pipe = make_pipe(args.batch, (1080, 1920), calib)
         pipe.export_artifact(args.deploy)  # module.mlir + options + specs
         pipe.export_stablehlo(os.path.join(args.deploy, "pipeline.jaxexport"))
-        print(f"exported deployment artifact -> {args.deploy}/")
+        print(f"exported deployment artifact -> {args.deploy}/"
+              + (" (int8-PTQ)" if args.quant == "int8" else ""))
         return
 
     os.makedirs(args.out, exist_ok=True)
@@ -93,8 +135,17 @@ def main(argv=None):
                 continue
             hw = frame.shape[:2]
             if hw not in pipes:
-                pipes[hw] = InferencePipeline(cfg, variables, batch_size=1,
-                                              input_hw=hw)
+                def same_res_frames():
+                    n = 0
+                    for other in names:
+                        if n >= args.calib_frames:
+                            return
+                        f = cv2.imread(os.path.join(args.images, other))
+                        if f is not None and f.shape[:2] == hw:
+                            n += 1
+                            yield cv2.cvtColor(f, cv2.COLOR_BGR2RGB)[None]
+                pipes[hw] = make_pipe(1, hw, same_res_frames()
+                                      if args.quant == "int8" else ())
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
             tic = time.time()
             results = pipes[hw](rgb)
@@ -110,22 +161,40 @@ def main(argv=None):
         pipe = None
         frames_bgr = []
 
-        def frame_batches():
+        def setup(frame, calib):
             nonlocal pipe, writer
+            pipe = make_pipe(1, frame.shape[:2], calib)
+            writer = cv2.VideoWriter(
+                os.path.join(args.out, os.path.basename(args.video)),
+                cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                (frame.shape[1], frame.shape[0]))
+
+        def frame_batches():
+            # with --quant int8: buffer the first --calib-frames frames to
+            # calibrate activation scales, then serve them and the rest
+            pending = []
             while True:
                 ok, frame = vid.read()
                 if not ok or frame is None:
-                    return
+                    break
                 if pipe is None:
-                    pipe = InferencePipeline(cfg, variables, batch_size=1,
-                                             input_hw=frame.shape[:2])
-                    out_path = os.path.join(args.out,
-                                            os.path.basename(args.video))
-                    writer = cv2.VideoWriter(
-                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
-                        (frame.shape[1], frame.shape[0]))
-                frames_bgr.append(frame)
-                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
+                    pending.append(frame)
+                    need = args.calib_frames if args.quant == "int8" else 1
+                    if len(pending) < need:
+                        continue
+                rgbs = [cv2.cvtColor(f, cv2.COLOR_BGR2RGB)[None]
+                        for f in (pending or [frame])]
+                if pipe is None:
+                    setup(pending[0], rgbs if args.quant == "int8" else ())
+                frames_bgr.extend(pending or [frame])
+                pending = []
+                yield from rgbs
+            if pipe is None and pending:  # video shorter than calib window
+                rgbs = [cv2.cvtColor(f, cv2.COLOR_BGR2RGB)[None]
+                        for f in pending]
+                setup(pending[0], rgbs if args.quant == "int8" else ())
+                frames_bgr.extend(pending)
+                yield from rgbs
 
         # pipelined serving: host decode + H2D of frame k+1 overlap device
         # compute of frame k (InferencePipeline.stream keeps `depth` batches

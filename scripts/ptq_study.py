@@ -36,10 +36,14 @@ def main():
                     help="orbax epoch_N dir; default = newest in the "
                          "convergence logs")
     ap.add_argument("--calib-batches", type=int, default=8)
-    ap.add_argument("--calib-percentile", type=float, default=100.0,
-                    help="percentile across calibration samples for the "
-                         "activation scale (100 = absmax)")
+    ap.add_argument("--calib-percentile", default="100,99.5",
+                    help="comma-separated percentiles across calibration "
+                         "samples for the activation scale (100 = absmax); "
+                         "one int8 eval row per value")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--max-val-batches", type=int, default=0,
+                    help="cap val batches per eval (0 = full set); for "
+                         "CPU smoke tests")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (sitecustomize force-registers "
                          "the remote-TPU platform, overriding env vars)")
@@ -93,13 +97,14 @@ def main():
             break
         batches.append(jax.device_get(
             calib_jit(params, batch_stats, jnp.asarray(batch["image"]))))
-    acc = qz.reduce_calibration(batches, args.calib_percentile)
-    n_scales = len(jax.tree_util.tree_leaves(acc))
+    percentiles = [float(p) for p in args.calib_percentile.split(",")]
+    accs = {p: qz.reduce_calibration(batches, p) for p in percentiles}
+    n_scales = len(jax.tree_util.tree_leaves(accs[percentiles[0]]))
     print(f"calibrated {n_scales} activation scales over "
-          f"{len(batches)} batches (percentile {args.calib_percentile})")
+          f"{len(batches)} batches (percentiles {percentiles})")
 
-    # ---- two forwards traced from the same function body ----
-    def make_fwd(mode: str):
+    # ---- all forwards traced from the same function body ----
+    def make_fwd(mode: str, acc=None):
         variables = {"params": params, "batch_stats": batch_stats}
         if mode == "int8":
             variables = {**variables, "act_stats": acc}
@@ -124,7 +129,9 @@ def main():
         lane_metric = LaneMetric(method="f1_measure", iou_thresh=0.5,
                                  lane_width=30, thresh_list=[0.5])
         det_result = []
-        for batch in trainer.validloader:
+        for vb, batch in enumerate(trainer.validloader):
+            if args.max_val_batches and vb >= args.max_val_batches:
+                break
             image = jnp.asarray(batch["image"])
             out = fwd(image)
             bsz = image.shape[0]
@@ -187,9 +194,11 @@ def main():
               f"({image.shape[0] * 1000 / ms:.1f} img/s)")
         return ms
 
+    runs = [("off", "float", None)]
+    runs += [("int8", f"int8@p{p:g}", accs[p]) for p in percentiles]
     rows = []
-    for mode, tag in (("off", "float"), ("int8", "int8")):
-        fwd = make_fwd(mode)
+    for mode, tag, acc in runs:
+        fwd = make_fwd(mode, acc)
         row = evaluate(fwd, tag)
         if args.bench:
             row["fwd_ms"] = round(bench(fwd, tag), 1)
@@ -198,6 +207,7 @@ def main():
 
     with open(args.out, "w") as f:
         json.dump({"checkpoint": ckpt, "calib_batches": args.calib_batches,
+                   "percentiles": percentiles,
                    "n_scales": n_scales, "rows": rows}, f, indent=2)
     print(f"wrote {args.out}")
 
