@@ -50,3 +50,32 @@ def test_demo_images_int8(demo_setup, capsys):
     assert sorted(os.listdir(out)) == ["f0.jpg", "f1.jpg", "f2.jpg"]
     captured = capsys.readouterr().out
     assert "int8: calibrated on 2 frame(s) at percentile 99.5" in captured
+
+
+def _write_video(path, n_frames):
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (128, 128))
+    rng = np.random.RandomState(1)
+    for _ in range(n_frames):
+        writer.write(rng.randint(0, 255, (128, 128, 3), np.uint8))
+    writer.release()
+
+
+@pytest.mark.parametrize("quant,n_frames", [
+    ("off", 5),
+    ("int8", 5),   # calib window (3) shorter than the video
+    ("int8", 2),   # video shorter than the calib window
+])
+def test_demo_video(demo_setup, quant, n_frames, capsys):
+    from hydranet_tpu.demo import main
+
+    cfg_path, _, root = demo_setup
+    vid_path = os.path.join(root, f"clip_{quant}_{n_frames}.mp4")
+    _write_video(vid_path, n_frames)
+    out = os.path.join(root, f"out_vid_{quant}_{n_frames}")
+    main(["--config", cfg_path, "--video", vid_path, "--out", out,
+          "--quant", quant, "--calib-frames", "3"])
+    captured = capsys.readouterr().out
+    assert f"processed {n_frames} frames" in captured
+    result = cv2.VideoCapture(os.path.join(out, os.path.basename(vid_path)))
+    assert int(result.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
