@@ -52,7 +52,8 @@ def make_batch(cfg, batch_size, h, w):
     }
 
 
-def run_cell(batch_size: int, remat: bool, iters: int) -> dict:
+def run_cell(batch_size: int, remat: bool, iters: int,
+             dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +71,8 @@ def run_cell(batch_size: int, remat: bool, iters: int) -> dict:
         d["backbone"]["remat"] = True
         cfg = Config.from_dict(d)
 
-    model = HydraNet(cfg=cfg, dtype=jnp.bfloat16)
+    model = HydraNet(cfg=cfg, dtype={"bfloat16": jnp.bfloat16,
+                                     "float32": jnp.float32}[dtype])
     h, w = cfg.input_hw
     batch = make_batch(cfg, batch_size, h, w)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
@@ -99,6 +101,7 @@ def run_cell(batch_size: int, remat: bool, iters: int) -> dict:
     cell = {
         "batch_size": batch_size,
         "remat": remat,
+        "dtype": dtype,
         "samples_per_s": round(batch_size / dt, 2),
         "step_ms": round(dt * 1000, 1),
     }
@@ -135,16 +138,20 @@ def main():
         return
 
     results = []
-    for bs in (8, 16, 32, 64):
-        for remat in (False, True):
-            try:
-                cell = run_cell(bs, remat, ITERS)
-            except Exception as e:  # OOM is a data point, not a crash
-                cell = {"batch_size": bs, "remat": remat,
-                        "error": type(e).__name__,
-                        "msg": str(e).splitlines()[0][:160]}
-            results.append(cell)
-            print(json.dumps(cell), flush=True)
+    cells = [(bs, remat, "bfloat16") for bs in (8, 16, 32, 64)
+             for remat in (False, True)]
+    # one f32-compute cell at the headline batch: quantifies what the
+    # trainer's compute_dtype=bfloat16 knob buys over the f32 default
+    cells.append((64, False, "float32"))
+    for bs, remat, dtype in cells:
+        try:
+            cell = run_cell(bs, remat, ITERS, dtype)
+        except Exception as e:  # OOM is a data point, not a crash
+            cell = {"batch_size": bs, "remat": remat, "dtype": dtype,
+                    "error": type(e).__name__,
+                    "msg": str(e).splitlines()[0][:160]}
+        results.append(cell)
+        print(json.dumps(cell), flush=True)
     ok = [c for c in results if "samples_per_s" in c]
     if ok:
         best = max(ok, key=lambda c: c["samples_per_s"])
