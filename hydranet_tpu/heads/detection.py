@@ -20,7 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from hydranet_tpu.ops.common import SeparableConvBlock, TorchBatchNorm, swish
+from hydranet_tpu.ops.common import (BNParams, ConvParams,
+                                     SeparableConvBlock, TorchBatchNorm,
+                                     swish)
 
 
 def generate_anchors(
@@ -95,6 +97,69 @@ class _Tower(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
 
+class _SepParams(nn.Module):
+    """Param mirror of the towers' norm-free SeparableConvBlock: depthwise
+    taps + pointwise kernel/bias under the identical variable tree."""
+
+    features: int
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        dw_k, _ = ConvParams(in_ch, kernel_size=3, groups=in_ch,
+                             use_bias=False, name="depthwise_conv")(in_ch)
+        pw_k, pw_b = ConvParams(self.features, kernel_size=1,
+                                bias_init=self.bias_init,
+                                name="pointwise_conv")(in_ch)
+        return dw_k.reshape(9, in_ch), pw_k.reshape(in_ch, self.features), \
+            pw_b
+
+
+class _TowerParams(nn.Module):
+    """Param mirror of _Tower for the fused Pallas kernel
+    (ops/pallas_tower.py): declares the exact same variable tree (shared
+    conv_{i} + header separable convs, per-level bn_{lvl}_{i}) and returns
+    the kernel's arrays, with each level's inference BN folded to an
+    affine (eps=1e-3, matching _Tower's TorchBatchNorm)."""
+
+    in_channels: int
+    out_per_anchor: int
+    num_anchors: int
+    num_layers: int
+    n_levels: int
+    header_bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        taps, pws, pbs = [], [], []
+        for i in range(self.num_layers):
+            t, p, b = _SepParams(self.in_channels,
+                                 name=f"conv_{i}")(self.in_channels)
+            taps.append(t)
+            pws.append(p)
+            pbs.append(b)
+        th, ph, bh = _SepParams(self.num_anchors * self.out_per_anchor,
+                                bias_init=self.header_bias_init,
+                                name="header")(self.in_channels)
+        bn_s, bn_t = [], []
+        for lvl in range(self.n_levels):
+            srow, trow = [], []
+            for i in range(self.num_layers):
+                scale, bias, mean, var = BNParams(
+                    name=f"bn_{lvl}_{i}")(self.in_channels)
+                s = scale * jax.lax.rsqrt(var + 1e-3)
+                srow.append(s)
+                trow.append(bias - mean * s)
+            bn_s.append(jnp.stack(srow))
+            bn_t.append(jnp.stack(trow))
+        return {
+            "taps": jnp.stack(taps), "pw": jnp.stack(pws),
+            "pb": jnp.stack(pbs), "bn_scale": jnp.stack(bn_s),
+            "bn_shift": jnp.stack(bn_t), "taps_h": th, "pw_h": ph,
+            "pb_h": bh,
+        }
+
+
 class DetectionHead(nn.Module):
     """Regressor + classifier + anchors — detection.py:173-215."""
 
@@ -114,29 +179,85 @@ class DetectionHead(nn.Module):
     @nn.compact
     def __call__(self, image_hw: Tuple[int, int],
                  fused_feats: Sequence[jnp.ndarray], train: bool = False):
-        regression = _Tower(
-            in_channels=self.in_channels, out_per_anchor=4,
-            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
-            pyramid_levels=self.pyramid_levels, dtype=self.dtype,
-            name="regressor")(fused_feats, train=train)
         # RetinaNet-style focal-loss prior on the classifier bias
         # (pi = 0.01): fresh models start predicting "background" so early
         # training is stable and untrained inference doesn't flood NMS. The
         # reference leaves this at torch defaults; weight import overwrites
         # it, so golden parity is unaffected.
         prior = float(-np.log((1.0 - 0.01) / 0.01))
-        classification = _Tower(
-            in_channels=self.in_channels, out_per_anchor=self.num_classes,
-            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
-            pyramid_levels=self.pyramid_levels, dtype=self.dtype,
-            header_bias_init=nn.initializers.constant(prior),
-            name="classifier")(fused_feats, train=train)
+        if not train and self._use_fused_towers(fused_feats):
+            regression, classification = self._fused_towers(fused_feats,
+                                                            prior)
+        else:
+            regression = _Tower(
+                in_channels=self.in_channels, out_per_anchor=4,
+                num_anchors=self.num_anchors,
+                num_layers=self.box_class_repeats,
+                pyramid_levels=self.pyramid_levels, dtype=self.dtype,
+                name="regressor")(fused_feats, train=train)
+            classification = _Tower(
+                in_channels=self.in_channels,
+                out_per_anchor=self.num_classes,
+                num_anchors=self.num_anchors,
+                num_layers=self.box_class_repeats,
+                pyramid_levels=self.pyramid_levels, dtype=self.dtype,
+                header_bias_init=nn.initializers.constant(prior),
+                name="classifier")(fused_feats, train=train)
         classification = jax.nn.sigmoid(classification)
         anchors = jnp.asarray(generate_anchors(
             image_hw, self.anchor_scale,
             [lvl + 3 for lvl in range(self.pyramid_levels)],
             self.scales, self.aspect_ratios))[None]
         return anchors, regression, classification
+
+    def _use_fused_towers(self, feats) -> bool:
+        import os
+
+        from hydranet_tpu.ops import pallas_tower
+        from hydranet_tpu.ops import quantize as qz
+
+        # Opt-in (HN_PALLAS_TOWER=1): both towers fused into one VMEM-
+        # resident Pallas kernel per level (ops/pallas_tower.py).
+        # HN_NO_PALLAS_TOWER=1 forces the XLA path even when the interpret
+        # or opt-in flags are set — tests use it to compare the kernel
+        # against the real XLA composition.
+        if os.environ.get("HN_NO_PALLAS_TOWER", "0") == "1":
+            return False
+        interpret = os.environ.get("HN_PALLAS_TOWER_INTERPRET", "0") == "1"
+        if not interpret and os.environ.get("HN_PALLAS_TOWER", "0") != "1":
+            return False
+        if not interpret and jax.default_backend() != "tpu":
+            return False
+        if qz.current_mode() != "off":
+            # int8 PTQ rewires/calibrates the tower convs per FastConv
+            # module; the fused kernel has no quantized path
+            return False
+        sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        return pallas_tower.supports(
+            sizes, self.in_channels, self.box_class_repeats,
+            4 * self.num_anchors, self.num_classes * self.num_anchors,
+            jnp.bfloat16 if self.dtype is None else self.dtype)
+
+    def _fused_towers(self, feats, prior: float):
+        import os
+
+        from hydranet_tpu.ops import pallas_tower
+
+        reg_p = _TowerParams(
+            in_channels=self.in_channels, out_per_anchor=4,
+            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
+            n_levels=len(feats), name="regressor")()
+        cls_p = _TowerParams(
+            in_channels=self.in_channels, out_per_anchor=self.num_classes,
+            num_anchors=self.num_anchors, num_layers=self.box_class_repeats,
+            n_levels=len(feats),
+            header_bias_init=nn.initializers.constant(prior),
+            name="classifier")()
+        dt = self.dtype or feats[0].dtype
+        return pallas_tower.det_towers(
+            [f.astype(dt) for f in feats], reg_p, cls_p, self.num_anchors,
+            interpret=os.environ.get("HN_PALLAS_TOWER_INTERPRET",
+                                     "0") == "1")
 
 
 def bbox_transform(anchors: jnp.ndarray, regression: jnp.ndarray) -> jnp.ndarray:

@@ -11,13 +11,15 @@ down-channelling it (bifpn.py:78-82,158-165); otherwise P6 = maxpool(conv(P5))
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from hydranet_tpu.ops.common import (
+    BNParams as _BNParams,
+    ConvParams as _ConvParams,
     SamePadConv,
     SeparableConvBlock,
     TorchBatchNorm,
@@ -25,64 +27,6 @@ from hydranet_tpu.ops.common import (
     swish,
     upsample_nearest,
 )
-
-
-class _ConvParams(nn.Module):
-    """Param mirror of SamePadConv->FastConv: declares kernel/bias under
-    <name>/conv/* with identical shapes and inits, computing nothing. Lets
-    the fused neck kernel read the same checkpoint tree the XLA path
-    trains (init trees of both paths are asserted identical in
-    tests/test_pallas_bifpn.py)."""
-
-    features: int
-    kernel_size: int = 3
-    groups: int = 1
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        from hydranet_tpu.ops.common import conv_kaiming_init
-
-        class _Leaf(nn.Module):
-            features: int
-            shape: Tuple[int, ...]
-            use_bias: bool
-
-            @nn.compact
-            def __call__(self):
-                k = self.param("kernel", conv_kaiming_init(), self.shape)
-                b = self.param("bias", nn.initializers.zeros,
-                               (self.features,)) if self.use_bias else None
-                return k, b
-
-        ks = self.kernel_size
-        return _Leaf(self.features,
-                     (ks, ks, in_ch // self.groups, self.features),
-                     self.use_bias, name="conv")()
-
-
-class _BNParams(nn.Module):
-    """Param mirror of TorchBatchNorm (norm/bn/{scale,bias} params +
-    batch_stats {mean,var})."""
-
-    @nn.compact
-    def __call__(self, c: int):
-        class _Leaf(nn.Module):
-            c: int
-
-            @nn.compact
-            def __call__(self):
-                scale = self.param("scale", nn.initializers.ones, (self.c,))
-                bias = self.param("bias", nn.initializers.zeros, (self.c,))
-                mean = self.variable(
-                    "batch_stats", "mean",
-                    lambda: jnp.zeros((self.c,), jnp.float32)).value
-                var = self.variable(
-                    "batch_stats", "var",
-                    lambda: jnp.ones((self.c,), jnp.float32)).value
-                return scale, bias, mean, var
-
-        return _Leaf(c, name="bn")()
 
 
 class _SepConvParams(nn.Module):

@@ -147,6 +147,64 @@ class SeparableConvBlock(nn.Module):
         return x
 
 
+class ConvParams(nn.Module):
+    """Param mirror of SamePadConv->FastConv: declares kernel/bias under
+    <name>/conv/* with identical shapes and inits, computing nothing. Lets
+    fused Pallas kernels (ops/pallas_bifpn.py, ops/pallas_tower.py) read the
+    same checkpoint tree the XLA path trains (init trees of both paths are
+    asserted identical in their tests)."""
+
+    features: int
+    kernel_size: int = 3
+    groups: int = 1
+    use_bias: bool = True
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        class _Leaf(nn.Module):
+            features: int
+            shape: Tuple[int, ...]
+            use_bias: bool
+            bias_init: Any
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", conv_kaiming_init(), self.shape)
+                b = self.param("bias", self.bias_init,
+                               (self.features,)) if self.use_bias else None
+                return k, b
+
+        ks = self.kernel_size
+        return _Leaf(self.features,
+                     (ks, ks, in_ch // self.groups, self.features),
+                     self.use_bias, self.bias_init, name="conv")()
+
+
+class BNParams(nn.Module):
+    """Param mirror of TorchBatchNorm (<name>/bn/{scale,bias} params +
+    batch_stats {mean,var})."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        class _Leaf(nn.Module):
+            c: int
+
+            @nn.compact
+            def __call__(self):
+                scale = self.param("scale", nn.initializers.ones, (self.c,))
+                bias = self.param("bias", nn.initializers.zeros, (self.c,))
+                mean = self.variable(
+                    "batch_stats", "mean",
+                    lambda: jnp.zeros((self.c,), jnp.float32)).value
+                var = self.variable(
+                    "batch_stats", "var",
+                    lambda: jnp.ones((self.c,), jnp.float32)).value
+                return scale, bias, mean, var
+
+        return _Leaf(c, name="bn")()
+
+
 def max_pool_same(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool2dStaticSamePadding(3, 2): zero-pad (l=0, r=1, t=0, b=1) then
     3x3/s2 VALID pool — reference common.py:117-152. Zero padding (not -inf)
