@@ -13,6 +13,7 @@ Usage: python scripts/train_convergence.py [--epochs N] [--data DIR]
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -29,14 +30,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def latest_checkpoint(logs_dir: str) -> str:
-    """Newest epoch_N orbax checkpoint under logs_dir/model, or ''."""
-    model_dir = os.path.join(logs_dir, "model")
-    if not os.path.isdir(model_dir):
-        return ""
-    epochs = sorted((int(n.split("_")[1]), n)
-                    for n in os.listdir(model_dir)
-                    if n.startswith("epoch_"))
-    return os.path.join(model_dir, epochs[-1][1]) if epochs else ""
+    """Newest epoch_N orbax checkpoint under logs_dir/model or under any
+    run dir logs_dir/<timestamp>_<tag>/model — HydraTrainer nests a
+    timestamped run dir under cfg.train.logs (trainer.py save_dir), so the
+    direct layout alone missed every real checkpoint: auto-resume would
+    silently restart from scratch and the hardware chain's demo/PTQ steps
+    would run with random init. Newest run wins (mtime), then highest
+    epoch. Returns '' when nothing is saved yet."""
+    cands = []
+    for model_dir in [os.path.join(logs_dir, "model")] + \
+            glob.glob(os.path.join(logs_dir, "*", "model")):
+        if not os.path.isdir(model_dir):
+            continue
+        for n in os.listdir(model_dir):
+            if n.startswith("epoch_"):
+                p = os.path.join(model_dir, n)
+                cands.append((os.path.getmtime(p), int(n.split("_")[1]), p))
+    return max(cands)[2] if cands else ""
 
 
 def main():
