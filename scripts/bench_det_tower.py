@@ -25,7 +25,7 @@ C = 112
 RATIOS = ((1.0, 1.0), (1.4, 0.7), (0.7, 1.4))
 SCALES = (2 ** 0.0, 2 ** (1.0 / 3), 2 ** (2.0 / 3))
 IMAGE_HW = (640, 640)
-ITERS = 20
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 DT = jnp.bfloat16
 
 
