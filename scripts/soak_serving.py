@@ -80,7 +80,8 @@ def main():
     total = time.perf_counter() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
-    lat_ms = np.asarray(lat[3:]) * 1000.0  # skip pipeline fill
+    drop = 3 if len(lat) > 6 else 0  # skip pipeline fill (keep short runs)
+    lat_ms = np.asarray(lat[drop:]) * 1000.0
     import json
     print(json.dumps({
         "metric": f"sustained serving, {n_done} batches of {BATCH} "
