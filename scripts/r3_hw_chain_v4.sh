@@ -1,0 +1,156 @@
+#!/bin/bash
+# Round-3 hardware chain v4 (supersedes v2+v3, re-ordered by value per
+# minute so the quick decision-making benches land first and the 3h
+# convergence run follows): wait for the TPU tunnel, then run ALL pending
+# hardware work one process at a time (the relay is single-claim; sleeps
+# let each claim expire). `touch /tmp/stop_chain` halts it between steps
+# (frees the relay for e.g. the driver's round-end bench.py).
+cd /root/repo || exit 1
+rm -f /tmp/stop_chain
+
+stop_check() {
+  if [ -f /tmp/stop_chain ]; then
+    echo "[chain4] stop sentinel found — exiting at $(date)"
+    exit 0
+  fi
+}
+
+echo "[chain4] waiting for TPU tunnel, probing every 60s ($(date))"
+while true; do
+  stop_check
+  if timeout 180 python -c "import jax; d=jax.devices(); assert d and d[0].platform != 'cpu'" >/dev/null 2>&1; then
+    break
+  fi
+  sleep 60
+done
+echo "[chain4] TPU up at $(date); letting the probe's relay claim expire"
+sleep 100
+
+echo "[chain4] 1/14 fresh baseline bench"
+timeout 1800 python -u bench.py > artifacts/bench_r3.log 2>&1
+echo "[chain4] baseline-bench exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 2/14 det-tower standalone bench (XLA vs fused kernel)"
+timeout 2400 python -u scripts/bench_det_tower.py \
+  > artifacts/bench_det_tower.log 2>&1
+echo "[chain4] det-tower exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 3/14 in-pipeline bench with HN_PALLAS_TOWER=1"
+HN_PALLAS_TOWER=1 timeout 1800 python -u bench.py \
+  > artifacts/bench_tower_pallas.log 2>&1
+echo "[chain4] tower-bench exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 4/14 train-step profile (bs64)"
+timeout 5400 python -u scripts/profile_train.py > artifacts/profile_train_r3.log 2>&1
+echo "[chain4] profile exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 5/14 convergence run (40 epochs, lane_weight 1.0, precise-BN, eval thr 0.05)"
+timeout 10800 python -u scripts/train_convergence.py \
+  --out artifacts/convergence_metrics_r3b.jsonl \
+  > artifacts/train_convergence_r3b.log 2>&1
+echo "[chain4] convergence exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 6/14 PTQ accuracy+speed study on the trained checkpoint"
+timeout 5400 python -u scripts/ptq_study.py --bench \
+  > artifacts/ptq_study_hw.log 2>&1
+echo "[chain4] ptq_study exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 7/14 demo overlays from the trained checkpoint"
+CKPT=$(python - <<'EOF'
+import sys
+sys.path.insert(0, "scripts")
+from train_convergence import latest_checkpoint
+print(latest_checkpoint("artifacts/convergence_logs"))
+EOF
+)
+echo "[chain4] ckpt: $CKPT"
+if [ -n "$CKPT" ]; then
+  mkdir -p /tmp/demo_val_imgs
+  head -8 artifacts/procedural_data/list/valid.txt | while read -r p; do
+    cp "artifacts/procedural_data/$p" /tmp/demo_val_imgs/ 2>/dev/null \
+      || cp "$p" /tmp/demo_val_imgs/ 2>/dev/null || true
+  done
+  timeout 1800 python -u -m hydranet_tpu.demo \
+    --config configs/hydranet_convergence_procedural.yml \
+    --checkpoint "$CKPT" \
+    --images /tmp/demo_val_imgs \
+    --out artifacts/demo_overlays_r3 \
+    > artifacts/demo_overlays_r3.log 2>&1
+  echo "[chain4] demo exit=$? at $(date)"
+fi
+sleep 100; stop_check
+
+CKARG=""
+[ -n "$CKPT" ] && CKARG="--checkpoint $CKPT"
+
+echo "[chain4] 8/14 deploy artifacts (float + int8) from the trained checkpoint"
+timeout 2400 python -u -m hydranet_tpu.demo \
+  --config configs/hydranet_convergence_procedural.yml $CKARG \
+  --deploy /tmp/artifact_float > artifacts/deploy_export_float.log 2>&1
+echo "[chain4] float export exit=$?"
+sleep 100
+timeout 2400 python -u -m hydranet_tpu.demo \
+  --config configs/hydranet_convergence_procedural.yml $CKARG \
+  --deploy /tmp/artifact_int8 --quant int8 --calib-frames 8 \
+  --calib-images artifacts/procedural_data/images \
+  > artifacts/deploy_export_int8.log 2>&1
+echo "[chain4] int8 export exit=$?"
+sleep 100; stop_check
+
+echo "[chain4] 9/14 C++ PJRT demo on both artifacts"
+IMG=$(head -1 artifacts/procedural_data/list/valid.txt)
+IMG="artifacts/procedural_data/$IMG"
+[ -f "$IMG" ] || IMG=$(ls artifacts/procedural_data/images/*.jpg | head -1)
+ENV_COMMON="AXON_POOL_SVC_OVERRIDE=127.0.0.1 TPU_WORKER_HOSTNAMES=localhost \
+AXON_COMPAT_VERSION=49 AXON_LOOPBACK_RELAY=1 \
+PJRT_LIBRARY_PATH=/opt/axon/libaxon_pjrt.so"
+env $ENV_COMMON \
+  HN_PJRT_CLIENT_OPTIONS="remote_compile=1;local_only=0;priority=0;topology=str:v5e:1x1x1;n_slices=1;session_id=str:hydranet-post-f;rank=4294967295" \
+  timeout 2400 ./deploy/build/hydranet_demo /tmp/artifact_float 1 "$IMG" \
+  /tmp/deploy_float_out.png > artifacts/deploy_run_float.log 2>&1
+echo "[chain4] float C++ run exit=$?"
+sleep 100
+env $ENV_COMMON \
+  HN_PJRT_CLIENT_OPTIONS="remote_compile=1;local_only=0;priority=0;topology=str:v5e:1x1x1;n_slices=1;session_id=str:hydranet-post-q;rank=4294967295" \
+  timeout 2400 ./deploy/build/hydranet_demo /tmp/artifact_int8 1 "$IMG" \
+  /tmp/deploy_int8_out.png > artifacts/deploy_run_int8.log 2>&1
+echo "[chain4] int8 C++ run exit=$?"
+sleep 100; stop_check
+
+echo "[chain4] 10/14 seg-final variants standalone (incl. pallas kernel)"
+BENCH_BATCH=128 timeout 2400 python -u scripts/bench_seg_final_v2.py \
+  > artifacts/bench_seg_final_v2_hw.log 2>&1
+echo "[chain4] seg-final exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 11/14 in-pipeline bench with HN_PALLAS_SEGFINAL=1"
+HN_PALLAS_SEGFINAL=1 timeout 1800 python -u bench.py \
+  > artifacts/bench_segfinal_pallas.log 2>&1
+echo "[chain4] pallas-bench exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 12/14 int8-PTQ bench"
+HN_QUANT=int8 timeout 2400 python -u bench.py > artifacts/bench_int8.log 2>&1
+echo "[chain4] int8-bench exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 13/14 Pallas-neck in-pipeline bench + serving soak"
+HN_PALLAS_NECK=1 timeout 1800 python -u bench.py \
+  > artifacts/bench_neck_pallas.log 2>&1
+echo "[chain4] neck-bench exit=$? at $(date)"
+sleep 100
+timeout 3600 python -u scripts/soak_serving.py 200 \
+  > artifacts/soak_serving_r3.log 2>&1
+echo "[chain4] soak exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 14/14 train sweep"
+timeout 5400 python -u bench_train.py --sweep > artifacts/bench_train_sweep_r3.log 2>&1
+echo "[chain4] sweep exit=$? at $(date)"
+echo "[chain4] ALL DONE at $(date)"
