@@ -26,42 +26,50 @@ done
 echo "[chain4] TPU up at $(date); letting the probe's relay claim expire"
 sleep 100
 
-echo "[chain4] 1/14 fresh baseline bench"
+echo "[chain4] 1/15 fresh baseline bench"
 timeout 1800 python -u bench.py > artifacts/bench_r3.log 2>&1
 echo "[chain4] baseline-bench exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 2/14 det-tower standalone bench (XLA vs fused kernel)"
+echo "[chain4] 2/15 det-tower standalone bench (XLA vs fused kernel)"
 timeout 2400 python -u scripts/bench_det_tower.py \
   > artifacts/bench_det_tower.log 2>&1
 echo "[chain4] det-tower exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 3/14 in-pipeline bench with HN_PALLAS_TOWER=1"
+echo "[chain4] 3/15 in-pipeline bench with HN_PALLAS_TOWER=1"
 HN_PALLAS_TOWER=1 timeout 1800 python -u bench.py \
   > artifacts/bench_tower_pallas.log 2>&1
 echo "[chain4] tower-bench exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 4/14 train-step profile (bs64)"
+echo "[chain4] 3b/15 tower+neck kernels combined (adjacency hypothesis:"
+echo "          the neck kernel's r2 loss was consumer-side fusion, which"
+echo "          a kernelized tower consumer changes)"
+HN_PALLAS_TOWER=1 HN_PALLAS_NECK=1 timeout 1800 python -u bench.py \
+  > artifacts/bench_tower_neck_pallas.log 2>&1
+echo "[chain4] tower+neck exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 4/15 train-step profile (bs64)"
 timeout 5400 python -u scripts/profile_train.py > artifacts/profile_train_r3.log 2>&1
 echo "[chain4] profile exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 5/14 convergence run (40 epochs, lane_weight 1.0, precise-BN, eval thr 0.05)"
+echo "[chain4] 5/15 convergence run (40 epochs, lane_weight 1.0, precise-BN, eval thr 0.05)"
 timeout 10800 python -u scripts/train_convergence.py \
   --out artifacts/convergence_metrics_r3b.jsonl \
   > artifacts/train_convergence_r3b.log 2>&1
 echo "[chain4] convergence exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 6/14 PTQ accuracy+speed study on the trained checkpoint"
+echo "[chain4] 6/15 PTQ accuracy+speed study on the trained checkpoint"
 timeout 5400 python -u scripts/ptq_study.py --bench \
   > artifacts/ptq_study_hw.log 2>&1
 echo "[chain4] ptq_study exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 7/14 demo overlays from the trained checkpoint"
+echo "[chain4] 7/15 demo overlays from the trained checkpoint"
 CKPT=$(python - <<'EOF'
 import sys
 sys.path.insert(0, "scripts")
@@ -89,7 +97,7 @@ sleep 100; stop_check
 CKARG=""
 [ -n "$CKPT" ] && CKARG="--checkpoint $CKPT"
 
-echo "[chain4] 8/14 deploy artifacts (float + int8) from the trained checkpoint"
+echo "[chain4] 8/15 deploy artifacts (float + int8) from the trained checkpoint"
 timeout 2400 python -u -m hydranet_tpu.demo \
   --config configs/hydranet_convergence_procedural.yml $CKARG \
   --deploy /tmp/artifact_float > artifacts/deploy_export_float.log 2>&1
@@ -103,7 +111,7 @@ timeout 2400 python -u -m hydranet_tpu.demo \
 echo "[chain4] int8 export exit=$?"
 sleep 100; stop_check
 
-echo "[chain4] 9/14 C++ PJRT demo on both artifacts"
+echo "[chain4] 9/15 C++ PJRT demo on both artifacts"
 IMG=$(head -1 artifacts/procedural_data/list/valid.txt)
 IMG="artifacts/procedural_data/$IMG"
 [ -f "$IMG" ] || IMG=$(ls artifacts/procedural_data/images/*.jpg | head -1)
@@ -123,24 +131,24 @@ env $ENV_COMMON \
 echo "[chain4] int8 C++ run exit=$?"
 sleep 100; stop_check
 
-echo "[chain4] 10/14 seg-final variants standalone (incl. pallas kernel)"
+echo "[chain4] 10/15 seg-final variants standalone (incl. pallas kernel)"
 BENCH_BATCH=128 timeout 2400 python -u scripts/bench_seg_final_v2.py \
   > artifacts/bench_seg_final_v2_hw.log 2>&1
 echo "[chain4] seg-final exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 11/14 in-pipeline bench with HN_PALLAS_SEGFINAL=1"
+echo "[chain4] 11/15 in-pipeline bench with HN_PALLAS_SEGFINAL=1"
 HN_PALLAS_SEGFINAL=1 timeout 1800 python -u bench.py \
   > artifacts/bench_segfinal_pallas.log 2>&1
 echo "[chain4] pallas-bench exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 12/14 int8-PTQ bench"
+echo "[chain4] 12/15 int8-PTQ bench"
 HN_QUANT=int8 timeout 2400 python -u bench.py > artifacts/bench_int8.log 2>&1
 echo "[chain4] int8-bench exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 13/14 Pallas-neck in-pipeline bench + serving soak"
+echo "[chain4] 13/15 Pallas-neck in-pipeline bench + serving soak"
 HN_PALLAS_NECK=1 timeout 1800 python -u bench.py \
   > artifacts/bench_neck_pallas.log 2>&1
 echo "[chain4] neck-bench exit=$? at $(date)"
@@ -150,7 +158,38 @@ timeout 3600 python -u scripts/soak_serving.py 200 \
 echo "[chain4] soak exit=$? at $(date)"
 sleep 100; stop_check
 
-echo "[chain4] 14/14 train sweep"
+echo "[chain4] 14/15 train sweep"
 timeout 5400 python -u bench_train.py --sweep > artifacts/bench_train_sweep_r3.log 2>&1
 echo "[chain4] sweep exit=$? at $(date)"
+sleep 100; stop_check
+
+echo "[chain4] 15/15 best-combo bench: union of kernel flags that"
+echo "          individually beat the fresh baseline (quant excluded —"
+echo "          it changes accuracy, not just speed)"
+COMBO=$(python - <<'EOF'
+import json, re
+def fps(path):
+    try:
+        for line in open(path):
+            if '"value"' in line:
+                return json.loads(line[line.index("{"):])["value"]
+    except Exception:
+        return None
+base = fps("artifacts/bench_r3.log")
+flags = []
+for flag, log in [("HN_PALLAS_TOWER", "artifacts/bench_tower_pallas.log"),
+                  ("HN_PALLAS_SEGFINAL", "artifacts/bench_segfinal_pallas.log"),
+                  ("HN_PALLAS_NECK", "artifacts/bench_neck_pallas.log")]:
+    v = fps(log)
+    if base and v and v > base:
+        flags.append(f"{flag}=1")
+print(" ".join(flags))
+EOF
+)
+echo "[chain4] combo flags: '$COMBO'"
+if [ -n "$COMBO" ]; then
+  env $COMBO timeout 1800 python -u bench.py \
+    > artifacts/bench_best_combo.log 2>&1
+  echo "[chain4] combo-bench exit=$? at $(date)"
+fi
 echo "[chain4] ALL DONE at $(date)"
