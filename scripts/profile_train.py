@@ -92,6 +92,13 @@ def stage_rows(model, state, batch, tx):
                            batch["image"], train=True,
                            mutable=["batch_stats"])
 
+    def fwd_eval(params, bs, batch):
+        # eval-mode BN (running stats, no batch reductions / stat writes):
+        # the delta vs the train-mode forward prices the ~30 BN stat
+        # updates (approximate — eval mode also changes fusion)
+        return model.apply({"params": params, "batch_stats": bs},
+                           batch["image"], train=False)
+
     def fwd_loss(params, bs, batch):
         outputs, mut = fwd(params, bs, batch)
         losses = model.compute_losses(outputs, batch)
@@ -104,6 +111,8 @@ def stage_rows(model, state, batch, tx):
         (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return total, grads
 
+    timed("  forward (eval-mode BN)", fwd_eval,
+          state.params, state.batch_stats, batch)
     t_f = timed("  forward (train, BN updates)", fwd,
                 state.params, state.batch_stats, batch)
     t_fl = timed("  forward + losses", fwd_loss,
@@ -131,7 +140,9 @@ def main():
     print(f"  -> losses {t_fl - t_f:.1f} ms, backward {t_fb - t_fl:.1f} ms, "
           f"optimizer+mask {t_full - t_fb:.1f} ms")
 
-    if "--heads" not in sys.argv:
+    # Head attribution runs by default: the base table above is printed
+    # and flushed first, so an outer timeout can only truncate the tail.
+    if "--base-only" in sys.argv:
         return
     for head, off in [("seg", "train_seg"), ("det", "train_detect"),
                       ("lane", "train_lane")]:
