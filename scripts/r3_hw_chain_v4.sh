@@ -31,6 +31,12 @@ timeout 1800 python -u bench.py > artifacts/bench_r3.log 2>&1
 echo "[chain4] baseline-bench exit=$? at $(date)"
 sleep 100; stop_check
 
+echo "[chain4] 1b/15 fresh component stage mix (VERDICT item 10 re-rank)"
+timeout 2400 python -u scripts/bench_components.py \
+  > artifacts/bench_components_r3.log 2>&1
+echo "[chain4] components exit=$? at $(date)"
+sleep 100; stop_check
+
 echo "[chain4] 2/15 det-tower standalone bench (XLA vs fused kernel)"
 timeout 2400 python -u scripts/bench_det_tower.py \
   > artifacts/bench_det_tower.log 2>&1
