@@ -83,6 +83,18 @@ def main():
           lambda v, f: det.apply(v, (640, 640), list(f), train=False),
           dvars, fused)
 
+    from hydranet_tpu.heads.segmentation import SegmentHead
+    seg = SegmentHead(num_ch_enc=cfg.segment.channel_dimension_seg_encode,
+                      num_ch_dec=cfg.segment.channel_dimension_seg_decode,
+                      num_output_channels=cfg.segment.num_classes, dtype=DT)
+    seg_in = [feats[0], fused[0], fused[1], fused[2]]
+    svars = seg.init(rng, [t[:1] for t in seg_in], emit_argmax=True)
+    timed("seg head fwd (logits)",
+          lambda v, f: seg.apply(v, list(f)), svars, seg_in)
+    timed("seg head fwd (emit_argmax)",
+          lambda v, f: seg.apply(v, list(f), emit_argmax=True),
+          svars, seg_in)
+
     lane = LaneHead(base_channel=cfg.lane.base_channel,
                     num_classes=cfg.lane.num_classes,
                     stride=cfg.lane.anchor_stride,
