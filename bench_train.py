@@ -53,7 +53,7 @@ def make_batch(cfg, batch_size, h, w):
 
 
 def run_cell(batch_size: int, remat: bool, iters: int,
-             dtype: str = "bfloat16") -> dict:
+             dtype: str = "bfloat16", seg_remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -66,9 +66,10 @@ def run_cell(batch_size: int, remat: bool, iters: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(repo,
                                    "configs/hydranet_joint_big_backbone.yml"))
-    if remat:
+    if remat or seg_remat:
         d = cfg.to_dict()
-        d["backbone"]["remat"] = True
+        d["backbone"]["remat"] = remat
+        d["segment"]["remat"] = seg_remat
         cfg = Config.from_dict(d)
 
     model = HydraNet(cfg=cfg, dtype={"bfloat16": jnp.bfloat16,
@@ -101,6 +102,7 @@ def run_cell(batch_size: int, remat: bool, iters: int,
     cell = {
         "batch_size": batch_size,
         "remat": remat,
+        "seg_remat": seg_remat,
         "dtype": dtype,
         "samples_per_s": round(batch_size / dt, 2),
         "step_ms": round(dt * 1000, 1),
@@ -138,16 +140,23 @@ def main():
         return
 
     results = []
-    cells = [(bs, remat, "bfloat16") for bs in (8, 16, 32, 64)
+    cells = [(bs, remat, "bfloat16", False) for bs in (8, 16, 32, 64)
              for remat in (False, True)]
     # one f32-compute cell at the headline batch: quantifies what the
     # trainer's compute_dtype=bfloat16 knob buys over the f32 default
-    cells.append((64, False, "float32"))
-    for bs, remat, dtype in cells:
+    cells.append((64, False, "float32", False))
+    # large-batch cells with the seg-decoder checkpoint (segment.remat):
+    # the decoder holds the largest activations, so seg-only remat (and
+    # +backbone remat at bs128) may fit batches that OOM above, at one
+    # extra head-forward of recompute
+    cells += [(96, False, "bfloat16", True), (128, False, "bfloat16", True),
+              (128, True, "bfloat16", True)]
+    for bs, remat, dtype, seg_remat in cells:
         try:
-            cell = run_cell(bs, remat, ITERS, dtype)
+            cell = run_cell(bs, remat, ITERS, dtype, seg_remat)
         except Exception as e:  # OOM is a data point, not a crash
-            cell = {"batch_size": bs, "remat": remat, "dtype": dtype,
+            cell = {"batch_size": bs, "remat": remat, "seg_remat": seg_remat,
+                    "dtype": dtype,
                     "error": type(e).__name__,
                     "msg": str(e).splitlines()[0][:160]}
         results.append(cell)

@@ -162,6 +162,12 @@ class SegmentCfg:
     use_focal: bool = False
     use_lovasz: bool = False
     segment_weight: float = 5.0
+    # hydranet_tpu extension: rematerialize the whole seg decoder in the
+    # backward pass (jax.checkpoint over the head) — the decoder's
+    # full-resolution activations are the largest in the train step, and
+    # recomputing them costs one extra head forward. Unlocks larger train
+    # batches; see backbone.remat for the stage-level backbone analog.
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "class_list", tuple(self.class_list))

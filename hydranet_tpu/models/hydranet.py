@@ -69,8 +69,17 @@ class HydraNet(nn.Module):
                 num_output_channels=cfg.segment.num_classes,
                 dtype=self.dtype, name="segheader")
             # inputs: [backbone stage0, P3, P4, P5] — model.py:166-172
-            out["seg"] = seg([feats[0], fused[0], fused[1], fused[2]],
-                             emit_argmax=seg_argmax)
+            seg_in = [feats[0], fused[0], fused[1], fused[2]]
+            if cfg.segment.remat and train:
+                # checkpoint the WHOLE decoder: backward recomputes it from
+                # the 4 (small) input features instead of storing every
+                # decoder stage's activations (the largest tensors in the
+                # train step) — config.segment.remat
+                out["seg"] = nn.remat(
+                    lambda mdl, f: mdl(f, emit_argmax=seg_argmax))(
+                        seg, seg_in)
+            else:
+                out["seg"] = seg(seg_in, emit_argmax=seg_argmax)
 
         if cfg.train.train_detect:
             det = DetectionHead(

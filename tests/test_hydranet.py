@@ -103,3 +103,61 @@ def test_losses_and_grads(model_and_vars):
     for mod in ["backbone", "neck", "segheader", "detectheader", "laneheader"]:
         leaves = jax.tree_util.tree_leaves(grads[mod])
         assert any(np.any(np.asarray(g) != 0) for g in leaves), mod
+
+
+def test_remat_exactness(model_and_vars):
+    """backbone.remat + segment.remat change activation memory only: the
+    train-mode loss and every gradient must match the non-remat model
+    (same params), and the variable trees must stay identical."""
+    cfg, model, variables = model_and_vars
+    cfg_r = dataclasses.replace(
+        cfg,
+        backbone=dataclasses.replace(cfg.backbone, remat=True),
+        segment=dataclasses.replace(cfg.segment, remat=True))
+    model_r = HydraNet(cfg=cfg_r)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32))
+    n = (128 // 32) ** 2
+    ppl = 128 // 8
+    batch = {
+        "gt_seg": jnp.asarray(rng.randint(0, 3, (2, 128, 128))),
+        "gt_det": jnp.asarray(np.array([
+            [[10, 10, 50, 60, 1], [70, 70, 100, 110, 2]],
+            [[-1, -1, -1, -1, -1], [-1, -1, -1, -1, -1]],
+        ], dtype=np.float32)),
+        "gt_cls": jnp.asarray(
+            np.eye(2)[rng.randint(0, 2, (2, n))].astype(np.float32)),
+        "gt_loc": jnp.asarray(
+            rng.randn(2, n, 2 * ppl + 2).astype(np.float32)),
+    }
+
+    # identical init structure (remat must not rename/move variables)
+    vars_r = model_r.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 128, 3), jnp.float32))
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vars_r))
+
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def make_loss(m):
+        def loss_fn(p):
+            out, _ = m.apply({"params": p, **rest}, x, train=True,
+                             mutable=["batch_stats"])
+            losses = m.compute_losses(out, batch)
+            return m.total_loss(losses)
+        return loss_fn
+
+    t0, g0 = jax.jit(jax.value_and_grad(make_loss(model)))(params)
+    t1, g1 = jax.jit(jax.value_and_grad(make_loss(model_r)))(params)
+    np.testing.assert_allclose(float(t1), float(t0), rtol=1e-6)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert k0 == k1
+        # recompute changes fusion/reassociation -> f32 LSB noise; a logic
+        # bug (wrong cotangent) would differ by orders of magnitude
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k0))
