@@ -112,8 +112,10 @@ def main(argv=None):
                 if frame is None:
                     continue
                 frame = cv2.resize(frame, (1920, 1080))
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None]
-                calib.append(np.repeat(rgb, args.batch, axis=0))
+                # calibrate() jits its own forward per batch shape — feed
+                # [1, H, W, 3] frames directly (replicating to args.batch
+                # would add compute and duplicate percentile samples)
+                calib.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)[None])
         pipe = make_pipe(args.batch, (1080, 1920), calib)
         pipe.export_artifact(args.deploy)  # module.mlir + options + specs
         pipe.export_stablehlo(os.path.join(args.deploy, "pipeline.jaxexport"))

@@ -233,10 +233,14 @@ class DetectionHead(nn.Module):
             # module; the fused kernel has no quantized path
             return False
         sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+        # size the VMEM budget with the dtype the kernel will actually run
+        # in (_fused_towers casts to self.dtype or feats dtype) — sizing
+        # an f32 pipeline as bf16 would pass a level at half its true
+        # footprint and fail inside pallas_call instead of falling back
         return pallas_tower.supports(
             sizes, self.in_channels, self.box_class_repeats,
             4 * self.num_anchors, self.num_classes * self.num_anchors,
-            jnp.bfloat16 if self.dtype is None else self.dtype)
+            self.dtype or feats[0].dtype)
 
     def _fused_towers(self, feats, prior: float):
         import os

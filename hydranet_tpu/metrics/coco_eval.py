@@ -216,19 +216,22 @@ class COCOMeanAP:
             return float(m[valid].mean()) if valid.any() else -1.0
 
         ap_all, ar100 = self._accumulate(100, "all")
+        ap_s, ar_s = self._accumulate(100, "small")
+        ap_m, ar_m = self._accumulate(100, "medium")
+        ap_l, ar_l = self._accumulate(100, "large")
         results = {
             "AP": mean_of(ap_all),
             "AP50": mean_of(ap_all[0:1]),
             "AP75": mean_of(ap_all[5:6]),
-            "AP_small": mean_of(self._accumulate(100, "small")[0]),
-            "AP_medium": mean_of(self._accumulate(100, "medium")[0]),
-            "AP_large": mean_of(self._accumulate(100, "large")[0]),
+            "AP_small": mean_of(ap_s),
+            "AP_medium": mean_of(ap_m),
+            "AP_large": mean_of(ap_l),
             "AR1": mean_of(self._accumulate(1, "all")[1]),
             "AR10": mean_of(self._accumulate(10, "all")[1]),
             "AR100": mean_of(ar100),
-            "AR_small": mean_of(self._accumulate(100, "small")[1]),
-            "AR_medium": mean_of(self._accumulate(100, "medium")[1]),
-            "AR_large": mean_of(self._accumulate(100, "large")[1]),
+            "AR_small": mean_of(ar_s),
+            "AR_medium": mean_of(ar_m),
+            "AR_large": mean_of(ar_l),
         }
         if verbose:
             for k, v in results.items():

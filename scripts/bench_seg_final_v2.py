@@ -104,7 +104,7 @@ def main():
 
     def pallas_argmax(x):
         y = phase_logits_pallas(x, k, bias)
-        return _phase_argmax_interleave(y, B, H, W, NCLS)
+        return _phase_argmax_interleave(y, x.shape[0], H, W, NCLS)
 
     wantp = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
     gotp = np.asarray(pallas_argmax(x[:2]))

@@ -57,10 +57,11 @@ def _lane_points(vp, x_bottom, y_top, n=12):
     return np.stack([xs, ys], axis=1)
 
 
-def _draw_vehicle(img, seg, rng, cls, vp, road_l, road_r):
+def _draw_vehicle(img, seg, rng, cls, vp, road_l, road_r, t=None):
     """One vehicle on the road; returns (x1, y1, x2, y2, cat 1-based)."""
-    # place by depth: t in [0.15, 0.85] toward the vanishing point
-    t = rng.uniform(0.1, 0.75)
+    # place by depth: t in [0.1, 0.75] toward the vanishing point
+    if t is None:
+        t = rng.uniform(0.1, 0.75)
     vx, vy = vp
     yb = (H - 1) + t * (vy - (H - 1))          # bottom of vehicle
     lane_x = rng.uniform(road_l + 30, road_r - 30)
@@ -85,6 +86,9 @@ def _draw_vehicle(img, seg, rng, cls, vp, road_l, road_r):
                   for c in geom[2])
     cv2.rectangle(img, (x1, y1), (x2, y2), color, cv2.FILLED)
     cv2.rectangle(img, (x1, y1), (x2, y2), (20, 20, 20), max(1, bw // 20))
+    # the vehicle occludes the road/markings: the seg GT must not keep
+    # the occluded class labels under its body
+    seg[y1c:y2c + 1, x1c:x2c + 1] = SEG_BG
     # class-distinct detail: windows (car/bus), cab line (truck), wheel (bike)
     if cls in (1, 3):
         wy = y1 + bh // 5
@@ -157,9 +161,12 @@ def render_scene(rng):
     det_rows = []
     n_veh = rng.randint(1, 5)
     cls_list = rng.randint(1, 5, n_veh)
+    depths = [rng.uniform(0.1, 0.75) for _ in cls_list]
     rows = []
-    for cls in cls_list:
-        r = _draw_vehicle(img, seg, rng, int(cls), vp, road_l, road_r)
+    # high t = closer to the vanishing point = farther away; draw far
+    # first so nearer vehicles overdraw
+    for t, cls in sorted(zip(depths, cls_list.tolist()), reverse=True):
+        r = _draw_vehicle(img, seg, rng, int(cls), vp, road_l, road_r, t=t)
         if r is not None:
             rows.append(r)
     det_rows = rows
