@@ -4,37 +4,22 @@ Each component is instantiated standalone with random params (timing is
 independent of weights).
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from _bench_util import timed as _timed
 
 B = int(os.environ.get("BENCH_BATCH", "128"))
 DT = jnp.bfloat16
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
-
-def timed(name, fn, *args):
-    jit_fn = jax.jit(fn)
-    digest = jax.jit(lambda y: sum(jnp.sum(t.astype(jnp.float32))
-                                   for t in jax.tree_util.tree_leaves(y)
-                                   if hasattr(t, "astype")))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = jit_fn(*args)
-    np.asarray(digest(r))
-    ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:36s} {ms:8.2f} ms", flush=True)
-    return ms
+timed = functools.partial(_timed, iters=ITERS, width=36)
 
 
 def main():

@@ -8,15 +8,18 @@ on the flagship shapes (levels 80^2..5^2 x 112ch, A=9, K=9 classes); the
 in-pipeline number comes from `HN_PALLAS_TOWER=1 python bench.py`.
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _bench_util import timed as _timed
 
 from hydranet_tpu.heads.detection import DetectionHead
 
@@ -29,21 +32,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 DT = jnp.bfloat16
 
 
-def timed(name, fn, *args):
-    jit_fn = jax.jit(fn)
-    digest = jax.jit(lambda y: sum(jnp.sum(t.astype(jnp.float32))
-                                   for t in jax.tree_util.tree_leaves(y)))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = jit_fn(*args)
-    np.asarray(digest(r))
-    ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:52s} {ms:8.2f} ms", flush=True)
-    return ms
+timed = functools.partial(_timed, iters=ITERS, width=52)
 
 
 def main():

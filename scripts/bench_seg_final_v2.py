@@ -16,15 +16,18 @@ Variants measured here (all produce int32 class ids [B, 640, 640]):
  c) z-split f32 accum variant (preferred_element_type=f32)
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _bench_util import timed as _timed
 
 from hydranet_tpu.ops.fused_upsample_conv import (_phase_kernels,
                                                   upsample2x_conv3x3_argmax)
@@ -36,21 +39,7 @@ DT = jnp.bfloat16
 ITERS = 20
 
 
-def timed(name, fn, *args):
-    jit_fn = jax.jit(fn)
-    digest = jax.jit(lambda y: sum(jnp.sum(t.astype(jnp.float32))
-                                   for t in jax.tree_util.tree_leaves(y)))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        r = jit_fn(*args)
-    np.asarray(digest(r))
-    ms = (time.perf_counter() - t0) / ITERS * 1000
-    print(f"{name:52s} {ms:8.2f} ms", flush=True)
-    return ms
+timed = functools.partial(_timed, iters=ITERS, width=52)
 
 
 def zsplit_argmax(x, k, bias, acc_dtype=None):

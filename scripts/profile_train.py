@@ -20,37 +20,22 @@ Usage: python scripts/profile_train.py  [BENCH_TRAIN_BATCH=64]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+from _bench_util import timed as _timed
 
 BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
 
 
-def timed(name, fn, *args, iters=ITERS):
-    import jax
-    import jax.numpy as jnp
-
-    jit_fn = jax.jit(fn)
-    digest = jax.jit(lambda y: sum(jnp.sum(t.astype(jnp.float32))
-                                   for t in jax.tree_util.tree_leaves(y)))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    r = jit_fn(*args)
-    np.asarray(digest(r))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = jit_fn(*args)
-    np.asarray(digest(r))
-    ms = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:44s} {ms:8.1f} ms   "
-          f"{BATCH / (ms / 1000):7.1f} samples/s", flush=True)
-    return ms
+timed = functools.partial(_timed, iters=ITERS, batch=BATCH)
 
 
 def build(cfg_dict):
