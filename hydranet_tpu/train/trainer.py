@@ -44,6 +44,60 @@ from hydranet_tpu.train.optimizer import cosine_annealing_lr, make_optimizer
 from hydranet_tpu.utils.table import format_table
 
 
+def coco_det_rows(dets, batch, path_to_id, net_hw) -> List[Dict]:
+    """Fixed-shape Detections -> COCO result dicts for one batch.
+
+    Prediction ids are keyed by source path via `path_to_id` (the
+    gen_coco_gt id map): images with empty label files have no GT id
+    (reference convention, gen_val_json.py:31-109) and contribute no
+    predictions rather than shifting later images' ids. Boxes are
+    rescaled network->source resolution. Shared by HydraTrainer.valid
+    and scripts/ptq_study.py so the eval protocol exists once."""
+    h, w = net_hw
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    classes = np.asarray(dets.classes)
+    valid = np.asarray(dets.valid)
+    rows: List[Dict] = []
+    for bi in range(boxes.shape[0]):
+        shape = batch["src_image_shape"][bi]
+        sx = w / float(shape["width"])
+        sy = h / float(shape["height"])
+        image_id = path_to_id.get(batch["src_image_path"][bi])
+        if image_id is None:
+            continue
+        for k in np.where(valid[bi])[0]:
+            x1, y1, x2, y2 = boxes[bi, k]
+            rows.append(dict(
+                image_id=image_id,
+                category_id=int(classes[bi, k]) + 1,
+                score=float(scores[bi, k]),
+                bbox=[float(x1) / sx, float(y1) / sy,
+                      float(x2 - x1) / sx, float(y2 - y1) / sy]))
+    return rows
+
+
+def lane_eval_rows(lanes, batch, cfg: Config, parse_label) -> List[Dict]:
+    """Decoded device lanes -> LaneMetric {pr_result, gt_result} rows for
+    one batch, points rescaled to source resolution. Shared by
+    HydraTrainer.valid and scripts/ptq_study.py."""
+    h, w = cfg.input_hw
+    rows: List[Dict] = []
+    for bi in range(len(batch["src_image_shape"])):
+        shape = batch["src_image_shape"][bi]
+        one = jax.tree_util.tree_map(lambda a: a[bi], lanes)
+        lines = lane_ops.lanes_to_points(
+            one, input_height=h,
+            interval=h / cfg.lane_points_per_line,
+            scale_x=shape["width"] / w,
+            scale_y=shape["height"] / h)
+        gt = {**parse_label(json.load(open(batch["annot_lane_path"][bi]))),
+              "Shape": shape}
+        rows.append(dict(pr_result={"Lines": lines, "Shape": shape},
+                         gt_result=gt))
+    return rows
+
+
 class HydraTrainer:
     def __init__(self, cfg: Config, cfg_path: Optional[str] = None,
                  use_mesh: bool = True):
@@ -281,7 +335,6 @@ class HydraTrainer:
         if self.precise_bn_step is not None:
             self._precise_bn()
         detect_result: List[Dict] = []
-        lane_result: List[Dict] = []
         n = len(self.validloader)
 
         for it, batch in enumerate(self.validloader):
@@ -289,7 +342,6 @@ class HydraTrainer:
             outputs, losses = self.eval_step(self.state.params,
                                              self.state.batch_stats, dbatch)
             self.print_loss_info(losses, epoch, it, n, mode="valid")
-            bsz = dbatch["image"].shape[0]
 
             if self.train_seg:
                 pred = jnp.argmax(outputs["seg"], axis=-1)
@@ -299,49 +351,14 @@ class HydraTrainer:
                 d = outputs["detection"]
                 dets = self._decode_det(d["anchors"], d["regression"],
                                         d["classification"])
-                boxes = np.asarray(dets.boxes)
-                scores = np.asarray(dets.scores)
-                classes = np.asarray(dets.classes)
-                valid = np.asarray(dets.valid)
-                for bi in range(bsz):
-                    shape = batch["src_image_shape"][bi]
-                    sx = w / float(shape["width"])
-                    sy = h / float(shape["height"])
-                    # id by path, not loader position: images with empty
-                    # label files have no GT id (reference convention) and
-                    # must not shift the ids of the images after them.
-                    image_id = self._det_path_to_id.get(
-                        batch["src_image_path"][bi])
-                    if image_id is None:
-                        continue
-                    for k in np.where(valid[bi])[0]:
-                        x1, y1, x2, y2 = boxes[bi, k]
-                        detect_result.append(dict(
-                            image_id=image_id,
-                            category_id=int(classes[bi, k]) + 1,
-                            score=float(scores[bi, k]),
-                            bbox=[float(x1) / sx, float(y1) / sy,
-                                  float(x2 - x1) / sx,
-                                  float(y2 - y1) / sy]))
+                detect_result.extend(coco_det_rows(
+                    dets, batch, self._det_path_to_id, (h, w)))
 
             if self.train_lane:
                 lanes = self._decode_lane(outputs["lane"]["predict_cls"],
                                           outputs["lane"]["predict_loc"])
-                for bi in range(bsz):
-                    shape = batch["src_image_shape"][bi]
-                    one = jax.tree_util.tree_map(lambda a: a[bi], lanes)
-                    lines = lane_ops.lanes_to_points(
-                        one, input_height=h,
-                        interval=h / cfg.lane_points_per_line,
-                        scale_x=shape["width"] / w,
-                        scale_y=shape["height"] / h)
-                    pr = {"Lines": lines, "Shape": shape}
-                    gt = {**self.valid_data.parse_own_label(
-                        json.load(open(batch["annot_lane_path"][bi]))),
-                        "Shape": shape}
-                    lane_result.append(dict(pr_result=pr, gt_result=gt))
-                self.lane_metric(output=lane_result)
-                lane_result = []
+                self.lane_metric(output=lane_eval_rows(
+                    lanes, batch, cfg, self.valid_data.parse_own_label))
 
         summary: Dict[str, float] = {}
         if self.train_seg:

@@ -62,12 +62,12 @@ def main():
     import numpy as np
 
     from hydranet_tpu.config import Config, load_config
-    from hydranet_tpu.heads import lane_codec as lane_ops
     from hydranet_tpu.metrics.coco_eval import COCOMeanAP, gen_coco_gt
     from hydranet_tpu.metrics.lane_metric import LaneMetric
     from hydranet_tpu.metrics.seg_metrics import IntersectionOverUnion
     from hydranet_tpu.ops import quantize as qz
-    from hydranet_tpu.train.trainer import HydraTrainer
+    from hydranet_tpu.train.trainer import (HydraTrainer, coco_det_rows,
+                                            lane_eval_rows)
 
     d = load_config(args.config).to_dict()
     d["dataloader"]["data_list"] = os.path.join(args.data, "list")
@@ -134,43 +134,18 @@ def main():
                 break
             image = jnp.asarray(batch["image"])
             out = fwd(image)
-            bsz = image.shape[0]
             pred = jnp.argmax(out["seg"], axis=-1)
             iou.update(pred, jnp.asarray(batch["gt_seg"]))
             det = out["detection"]
             dets = trainer._decode_det(det["anchors"], det["regression"],
                                        det["classification"])
-            boxes, scores = np.asarray(dets.boxes), np.asarray(dets.scores)
-            classes, valid = np.asarray(dets.classes), np.asarray(dets.valid)
+            # same decode/rescale/id protocol as HydraTrainer.valid
+            det_result.extend(coco_det_rows(dets, batch, path_to_id,
+                                            (h, w)))
             lanes = trainer._decode_lane(out["lane"]["predict_cls"],
                                          out["lane"]["predict_loc"])
-            lane_result = []
-            for bi in range(bsz):
-                shape = batch["src_image_shape"][bi]
-                sx, sy = w / shape["width"], h / shape["height"]
-                image_id = path_to_id.get(batch["src_image_path"][bi])
-                if image_id is not None:
-                    for k in np.where(valid[bi])[0]:
-                        x1, y1, x2, y2 = boxes[bi, k]
-                        det_result.append(dict(
-                            image_id=image_id,
-                            category_id=int(classes[bi, k]) + 1,
-                            score=float(scores[bi, k]),
-                            bbox=[float(x1) / sx, float(y1) / sy,
-                                  float(x2 - x1) / sx,
-                                  float(y2 - y1) / sy]))
-                one = jax.tree_util.tree_map(lambda a: a[bi], lanes)
-                lines = lane_ops.lanes_to_points(
-                    one, input_height=h,
-                    interval=h / cfg.lane_points_per_line,
-                    scale_x=shape["width"] / w, scale_y=shape["height"] / h)
-                gt = {**trainer.valid_data.parse_own_label(
-                    json.load(open(batch["annot_lane_path"][bi]))),
-                    "Shape": shape}
-                lane_result.append(dict(pr_result={"Lines": lines,
-                                                   "Shape": shape},
-                                        gt_result=gt))
-            lane_metric(output=lane_result)
+            lane_metric(output=lane_eval_rows(
+                lanes, batch, cfg, trainer.valid_data.parse_own_label))
         row = {"mode": tag,
                "mIoU": round(float(np.mean(iou.compute())), 4)}
         if det_result:
