@@ -90,11 +90,17 @@ class InferencePipeline:
                  compute_dtype=jnp.bfloat16,
                  det_conf_thres: float = 0.4, det_iou_thres: float = 0.3,
                  lane_conf_thres: float = 0.9, lane_nms_thres: float = 80.0,
-                 mesh=None, quant: str = "off"):
+                 mesh=None, quant: str = "off", spatial: bool = False):
         """quant: 'off' (default) or 'int8' — serving-path post-training
         quantization (ops/quantize.py). 'int8' needs calibrated activation
         scales: either pass an `act_stats` collection inside `variables`
-        or call `calibrate(frame_batches)` before the first inference."""
+        or call `calibrate(frame_batches)` before the first inference.
+
+        spatial: with a mesh, shard the image HEIGHT over every mesh
+        device instead of the batch — latency-oriented SP for single-frame
+        inference (one frame's convs run on all chips; XLA GSPMD inserts
+        the halo exchanges). Throughput serving should keep the default
+        batch sharding."""
         from hydranet_tpu.ops import quantize as qz
 
         assert quant in ("off", "int8"), quant
@@ -169,10 +175,20 @@ class InferencePipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("data"))
+            if spatial:
+                # SP: split H of [B, H, W, 3] over the whole mesh; every
+                # decoded result is gathered replicated (they are the
+                # small fixed-shape postprocess outputs + the class-id
+                # map, i.e. what the host consumes anyway)
+                data = NamedSharding(
+                    mesh, P(None, tuple(mesh.axis_names)))
+                out = repl
+            else:
+                data = NamedSharding(mesh, P("data"))
+                out = data
             self.variables = jax.device_put(variables, repl)
             self._run = jax.jit(run, in_shardings=(repl, data),
-                                out_shardings=data)
+                                out_shardings=out)
         else:
             self._run = jax.jit(run)
 

@@ -75,6 +75,31 @@ def test_mesh_sharded_inference(pipe):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_spatial_sharded_inference(pipe):
+    """SP mode: one frame's HEIGHT sharded over all 8 mesh devices
+    (latency-oriented single-frame path) matches the single-device
+    pipeline — XLA GSPMD halo exchanges preserve conv semantics."""
+    from hydranet_tpu.parallel.mesh import make_mesh
+
+    cfg, p = pipe
+    mesh = make_mesh()
+    sp = InferencePipeline(cfg, p.variables, batch_size=2,
+                           input_hw=(96, 160), compute_dtype=jnp.float32,
+                           mesh=mesh, spatial=True)
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (2, 96, 160, 3), np.uint8)
+    got = sp(frames)
+    want = p(frames)
+    np.testing.assert_array_equal(np.asarray(got["seg"]),
+                                  np.asarray(want["seg"]))
+    np.testing.assert_allclose(np.asarray(got["detections"].boxes),
+                               np.asarray(want["detections"].boxes),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["lanes"].xs),
+                               np.asarray(want["lanes"].xs),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_stream_ordering(pipe):
     cfg, p = pipe
     rng = np.random.RandomState(4)
