@@ -126,3 +126,43 @@ def test_quant_mode_fences_kernel(interp_env):
         assert not head._use_fused_towers(feats)
     with qz.quant_mode("int8"):
         assert not head._use_fused_towers(feats)
+
+
+def test_tower_plus_neck_kernels_full_model():
+    """The chain benches HN_PALLAS_TOWER=1 HN_PALLAS_NECK=1 together
+    (adjacent kernels: the neck's outputs feed the towers). Full-model
+    eval forward with BOTH kernels (interpret) must match the pure XLA
+    composition on the same variables."""
+    from tests.test_hydranet import small_config
+    from hydranet_tpu.models.hydranet import HydraNet
+
+    cfg = small_config()
+    model = HydraNet(cfg=cfg)
+    x = jnp.asarray(np.random.RandomState(5)
+                    .randn(2, 128, 128, 3).astype(np.float32))
+    for k in ("HN_PALLAS_TOWER_INTERPRET", "HN_PALLAS_NECK_INTERPRET"):
+        os.environ[k] = "1"
+    try:
+        variables = model.init(jax.random.PRNGKey(3), x[:1])
+        fast = model.apply(variables, x, train=False)
+        os.environ["HN_NO_PALLAS_TOWER"] = "1"
+        os.environ["HN_NO_PALLAS_NECK"] = "1"
+        try:
+            slow = model.apply(variables, x, train=False)
+        finally:
+            os.environ.pop("HN_NO_PALLAS_TOWER", None)
+            os.environ.pop("HN_NO_PALLAS_NECK", None)
+    finally:
+        for k in ("HN_PALLAS_TOWER_INTERPRET", "HN_PALLAS_NECK_INTERPRET"):
+            os.environ.pop(k, None)
+
+    np.testing.assert_allclose(np.asarray(fast["seg"]),
+                               np.asarray(slow["seg"]), rtol=2e-4, atol=2e-4)
+    for name in ("regression", "classification"):
+        np.testing.assert_allclose(np.asarray(fast["detection"][name]),
+                                   np.asarray(slow["detection"][name]),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+    for name in ("predict_cls", "predict_loc"):
+        np.testing.assert_allclose(np.asarray(fast["lane"][name]),
+                                   np.asarray(slow["lane"][name]),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
