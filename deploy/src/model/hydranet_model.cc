@@ -97,8 +97,17 @@ std::unique_ptr<HydranetModel> HydranetModel::Load(
   model->runtime_ = PjrtRuntime::Create("", error);
   if (!model->runtime_) return nullptr;
   double t0 = NowMs();
-  if (!model->runtime_->Compile(mlir, opts, error)) return nullptr;
-  fprintf(stderr, "[hydranet] compiled %s pipeline in %.1f ms (%d outputs)\n",
+  // executable cache: default <artifact>/executable.cache; override with
+  // $HN_EXECUTABLE_CACHE, disable with HN_EXECUTABLE_CACHE="" (loading a
+  // cached executable skips XLA compilation — the dominant cold-start
+  // cost). Stale or cross-version caches fall back to compile and are
+  // rewritten.
+  std::string cache_path = artifact_dir + "/executable.cache";
+  if (const char* env = std::getenv("HN_EXECUTABLE_CACHE")) cache_path = env;
+  if (!model->runtime_->CompileWithCache(mlir, opts, cache_path, error)) {
+    return nullptr;
+  }
+  fprintf(stderr, "[hydranet] loaded %s pipeline in %.1f ms (%d outputs)\n",
           model->runtime_->platform_name().c_str(), NowMs() - t0,
           model->runtime_->num_outputs());
   model->input_staging_.resize((size_t)model->in_b_ * model->in_h_ *

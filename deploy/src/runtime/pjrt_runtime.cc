@@ -2,7 +2,9 @@
 
 #include <dlfcn.h>
 
+#include <cstdio>
 #include <cstring>
+#include <fstream>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
@@ -252,7 +254,10 @@ bool PjrtRuntime::Compile(const std::string& mlir_bytes,
   args.compile_options_size = compile_options.size();
   RETURN_IF_PJRT_ERROR(api_->PJRT_Client_Compile(&args), "compile");
   executable_ = args.executable;
+  return FinishExecutableSetup(error);
+}
 
+bool PjrtRuntime::FinishExecutableSetup(std::string* error) {
   // number of outputs
   PJRT_LoadedExecutable_GetExecutable_Args gargs;
   std::memset(&gargs, 0, sizeof(gargs));
@@ -267,6 +272,97 @@ bool PjrtRuntime::Compile(const std::string& mlir_bytes,
   RETURN_IF_PJRT_ERROR(api_->PJRT_Executable_NumOutputs(&nargs),
                        "num outputs");
   num_outputs_ = static_cast<int>(nargs.num_outputs);
+  return true;
+}
+
+bool PjrtRuntime::CompileWithCache(const std::string& mlir_bytes,
+                                   const std::string& compile_options,
+                                   const std::string& cache_path,
+                                   std::string* error) {
+  // 1) try the cache: deserialize-and-load skips XLA compilation entirely
+  // (the dominant cold-start cost; minutes through a remote-compile
+  // tunnel). A failed load — stale bytes, different platform/library
+  // version, unimplemented API — silently falls through to compile.
+  if (!cache_path.empty() &&
+      api_->PJRT_Executable_DeserializeAndLoad != nullptr) {
+    std::ifstream in(cache_path, std::ios::binary);
+    if (in) {
+      std::string bytes((std::istreambuf_iterator<char>(in)),
+                        std::istreambuf_iterator<char>());
+      PJRT_Executable_DeserializeAndLoad_Args dargs;
+      std::memset(&dargs, 0, sizeof(dargs));
+      dargs.struct_size =
+          PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+      dargs.client = client_;
+      dargs.serialized_executable = bytes.data();
+      dargs.serialized_executable_size = bytes.size();
+      PJRT_Error* err = api_->PJRT_Executable_DeserializeAndLoad(&dargs);
+      if (err == nullptr) {
+        executable_ = dargs.loaded_executable;
+        std::string setup_err;
+        if (FinishExecutableSetup(&setup_err)) {
+          std::fprintf(stderr, "[hydranet] executable cache hit: %s\n",
+                       cache_path.c_str());
+          return true;
+        }
+        std::fprintf(stderr,
+                     "[hydranet] cached executable unusable (%s); "
+                     "recompiling\n", setup_err.c_str());
+        executable_ = nullptr;
+      } else {
+        PJRT_Error_Destroy_Args del;
+        std::memset(&del, 0, sizeof(del));
+        del.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+        del.error = err;
+        api_->PJRT_Error_Destroy(&del);
+        std::fprintf(stderr,
+                     "[hydranet] executable cache stale; recompiling\n");
+      }
+    }
+  }
+
+  if (!Compile(mlir_bytes, compile_options, error)) return false;
+
+  // 2) write-back (best effort): serialize the fresh executable so the
+  // next cold start loads in seconds.
+  if (!cache_path.empty() && api_->PJRT_Executable_Serialize != nullptr) {
+    PJRT_LoadedExecutable_GetExecutable_Args gargs;
+    std::memset(&gargs, 0, sizeof(gargs));
+    gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    gargs.loaded_executable = executable_;
+    if (api_->PJRT_LoadedExecutable_GetExecutable(&gargs) == nullptr) {
+      PJRT_Executable_Serialize_Args sargs;
+      std::memset(&sargs, 0, sizeof(sargs));
+      sargs.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
+      sargs.executable = gargs.executable;
+      PJRT_Error* err = api_->PJRT_Executable_Serialize(&sargs);
+      if (err == nullptr) {
+        std::ofstream out(cache_path + ".tmp",
+                          std::ios::binary | std::ios::trunc);
+        out.write(sargs.serialized_bytes,
+                  static_cast<std::streamsize>(sargs.serialized_bytes_size));
+        out.close();
+        if (out.good() &&
+            std::rename((cache_path + ".tmp").c_str(),
+                        cache_path.c_str()) == 0) {
+          std::fprintf(stderr,
+                       "[hydranet] executable cache written: %s (%zu B)\n",
+                       cache_path.c_str(), sargs.serialized_bytes_size);
+        } else {
+          std::remove((cache_path + ".tmp").c_str());
+        }
+        if (sargs.serialized_executable_deleter != nullptr) {
+          sargs.serialized_executable_deleter(sargs.serialized_executable);
+        }
+      } else {
+        PJRT_Error_Destroy_Args del;
+        std::memset(&del, 0, sizeof(del));
+        del.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+        del.error = err;
+        api_->PJRT_Error_Destroy(&del);
+      }
+    }
+  }
   return true;
 }
 

@@ -59,6 +59,18 @@ class PjrtRuntime {
                const std::string& compile_options,
                std::string* error);
 
+  // Compile with an on-disk executable cache: when `cache_path` holds a
+  // previously serialized executable it is deserialized and loaded
+  // (seconds) instead of recompiled (minutes through a remote-compile
+  // tunnel); after a fresh compile the serialized executable is written
+  // back. Both directions are best-effort — a plugin that does not
+  // implement PJRT serialization, or a stale/foreign cache file, falls
+  // through to the normal compile path and overwrites the cache.
+  bool CompileWithCache(const std::string& mlir_bytes,
+                        const std::string& compile_options,
+                        const std::string& cache_path,
+                        std::string* error);
+
   // Execute with a single dense input (uint8 NHWC frames for HydraNet).
   // Outputs are fetched to host in executable output order.
   bool Execute(const void* input, const std::vector<int64_t>& dims,
@@ -90,6 +102,9 @@ class PjrtRuntime {
 
  private:
   PjrtRuntime() = default;
+
+  // shared post-compile/post-load setup (output count query)
+  bool FinishExecutableSetup(std::string* error);
 
   struct Slot {
     PJRT_Buffer* buffer = nullptr;
