@@ -1,6 +1,7 @@
 #include "model/hydranet_model.h"
 
 #include <chrono>
+#include <cstdlib>
 #include <fstream>
 #include <sstream>
 
