@@ -22,6 +22,13 @@ import json
 import os
 import time
 
+# persistent XLA compile cache: first compile of the big pipeline is
+# minutes through the remote-TPU tunnel; later invocations (and the other
+# bench/chain scripts) reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))

@@ -82,7 +82,6 @@ def main() -> None:
     d["dataloader"]["fast_decode"] = True
     ds_fast = MultitaskDataset(Config.from_dict(d), mode="train", seed=0)
     min_s = 3.0 if args.quick else 10.0
-
     # Worker counts that make sense for this host: inline, half the cores,
     # all cores (on a 1-core harness the pool can only demonstrate
     # correctness, not speedup — the win needs a multi-core TPU host).

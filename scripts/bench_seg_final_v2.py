@@ -20,6 +20,13 @@ import functools
 import os
 import sys
 
+# persistent XLA compile cache: first compile of the big pipeline is
+# minutes through the remote-TPU tunnel; later invocations (and the other
+# bench/chain scripts) reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -11,6 +11,13 @@ import resource
 import sys
 import time
 
+# persistent XLA compile cache: first compile of the big pipeline is
+# minutes through the remote-TPU tunnel; later invocations (and the other
+# bench/chain scripts) reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jax_cache"))
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
