@@ -93,7 +93,10 @@ def run_cell(batch_size: int, remat: bool, iters: int,
                        step=jnp.zeros((), jnp.int32))
     mask = all_trainable(state.params)
 
-    step = make_train_step(model, tx, mesh=None, donate=False)
+    # donate=True is what the shipped trainer runs (trainer.py): the old
+    # state's buffers are reused in place, which also lowers peak HBM —
+    # the bench must measure the real step
+    step = make_train_step(model, tx, mesh=None, donate=True)
 
     state, losses = step(state, batch, mask)  # compile
     _ = float(losses["total_loss"])
