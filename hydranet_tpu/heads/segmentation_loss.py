@@ -170,7 +170,8 @@ def lovasz_softmax(
         errors_sorted = errors[order]
         fg_sorted = fg[order]
         grad = _lovasz_grad(fg_sorted)
-        loss_c = jnp.dot(errors_sorted, grad)
+        loss_c = jnp.dot(errors_sorted, grad,
+                         precision=jax.lax.Precision.HIGHEST)
         present = jnp.sum(fg) > 0
         return loss_c, present
 

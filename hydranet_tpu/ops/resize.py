@@ -247,11 +247,17 @@ def resize_normalize_reference(frames, out_hw, dtype=jnp.float32):
     py_in, py_out = wy.shape
     px_in, px_out = wx.shape
     x = frames.astype(dtype)
+    # f32 accumulation to match the Pallas kernel's epilogue (the taps
+    # contract over only 2 elements, so this costs nothing; without it the
+    # TPU default would accumulate these in bf16 and the mesh-sharded
+    # fallback would drift from the single-chip kernel path by LSBs)
     x = x.reshape(b, h0, w0 // px_in, px_in, 3)
-    x = jnp.einsum("bhgpc,pr->bhgrc", x, jnp.asarray(wx, dtype))
+    x = jnp.einsum("bhgpc,pr->bhgrc", x, jnp.asarray(wx, dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
     x = x.reshape(b, h0, w, 3)
     x = x.reshape(b, h0 // py_in, py_in, w, 3)
-    x = jnp.einsum("bgpwc,pr->bgrwc", x, jnp.asarray(wy, dtype))
+    x = jnp.einsum("bgpwc,pr->bgrwc", x, jnp.asarray(wy, dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
     x = x.reshape(b, h, w, 3)
     scale = 1.0 / (255.0 * jnp.asarray(IMAGENET_STD, dtype))
     shift = jnp.asarray(IMAGENET_MEAN, dtype) / jnp.asarray(IMAGENET_STD,
