@@ -191,7 +191,14 @@ def det_towers(feats: Sequence[jnp.ndarray],
 
 def supports(sizes: Sequence[Tuple[int, int]], c: int, n_layers: int,
              o_reg: int, o_cls: int, dtype) -> bool:
-    """VMEM feasibility for the largest per-level call."""
+    """VMEM feasibility for the largest per-level call.
+
+    Calibrated against the measured Mosaic scoped-vmem stack: the bf16
+    80x80x112 level compiles to a 25.01 MB scoped allocation (hardware
+    chain v5, artifacts/bench_det_tower.log) against the 16 MB limit —
+    the dw3x3 f32 accumulator planes and the concat temporaries in
+    `_pw_rows`/the tower epilogue dominate, so working planes are
+    counted at f32 width regardless of the run dtype."""
     if c % 8 != 0:
         return False
     el = jnp.dtype(dtype).itemsize
@@ -199,10 +206,12 @@ def supports(sizes: Sequence[Tuple[int, int]], c: int, n_layers: int,
     o_lanes = -(-(o_reg + o_cls) // 128) * 128
     h, w = max(sizes, key=lambda s: s[0] * s[1])
     plane = h * w * lanes * el
+    plane_f32 = h * w * lanes * 4
     out_plane = h * w * o_lanes * el
     params = 2 * (n_layers * c * c + c * max(o_reg, o_cls)
                   + (n_layers + 1) * 9 * c) * el
-    # double-buffered in/out blocks + ~3 live planes + one f32 pw chunk
+    # double-buffered in/out blocks + ~4 live f32-width working planes
+    # (dw accumulators, chunk-concat temporaries) + one f32 pw chunk
     chunk = _CHUNK_ROWS * w * 128 * 4
-    need = 2 * plane + 2 * out_plane + 3 * plane + chunk + 2 * params
-    return need < 15 * 1024 * 1024
+    need = 2 * plane + 2 * out_plane + 4 * plane_f32 + chunk + 2 * params
+    return need < 14 * 1024 * 1024
