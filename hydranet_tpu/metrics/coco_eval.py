@@ -54,39 +54,55 @@ def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray,
                   thrs: np.ndarray) -> np.ndarray:
     """COCOeval's greedy matcher for all IoU thresholds at once.
 
-    `iou` is [D, G] with detections already in descending-score order and
-    gts sorted unignored-first. Returns dt_match [T, D] of matched gt
-    indices (-1 unmatched). Semantics (pycocotools cocoeval.py evaluateImg):
-    each detection takes the available gt with the highest IoU >= thr;
-    among equal IoUs the LATER gt wins; an ignored gt is only taken when no
+    `iou` is [D, G] with detections already in descending-score order.
+    `gt_ignore` is [G] (one ignore set) or [R, G] (R independent ignore
+    sets, e.g. the four area ranges, matched in one pass — the per-
+    detection loop is the Python hot spot, so all R x T rows advance
+    together). Returns dt_match [T, D] / [R, T, D] of matched gt indices
+    (-1 unmatched). Semantics (pycocotools cocoeval.py evaluateImg): each
+    detection takes the available gt with the highest IoU >= thr; among
+    equal IoUs the LATER gt wins; an ignored gt is only taken when no
     unignored gt matched; a match to an unignored gt is final even if an
     ignored gt has higher IoU.
+
+    pycocotools iterates gts sorted unignored-first; indices here stay in
+    the caller's order, which is equivalent: the candidate class (prefer
+    unignored) is selected explicitly, candidates are therefore always a
+    single class per row, and a stable unignored-first sort preserves
+    relative order within each class — so last-tie-wins picks the same gt
+    either way (verified bit-exact vs the oracle in tests/test_metrics.py,
+    which sorts like pycocotools).
     """
+    gi = gt_ignore[None] if gt_ignore.ndim == 1 else gt_ignore   # [R, G]
+    r = gi.shape[0]
     t = len(thrs)
     d, g = iou.shape
-    dt_m = -np.ones((t, d), dtype=np.int64)
+    dt_m = -np.ones((r, t, d), dtype=np.int64)
     if g == 0:
-        return dt_m
-    gt_avail = np.ones((t, g), dtype=bool)
-    # effective threshold per T row: min(thr, 1-1e-10)
-    thr_eff = np.minimum(thrs, 1 - 1e-10)[:, None]          # [T, 1]
-    unignored = ~gt_ignore[None, :]                          # [1, G]
+        return dt_m[0] if gt_ignore.ndim == 1 else dt_m
+    n = r * t
+    flat = dt_m.reshape(n, d)
+    gt_avail = np.ones((n, g), dtype=bool)
+    # effective threshold per row (r-major grouping): min(thr, 1-1e-10)
+    thr_eff = np.tile(np.minimum(thrs, 1 - 1e-10), r)[:, None]   # [n, 1]
+    unignored = np.repeat(~gi, t, axis=0)                        # [n, G]
     # tie-break helper: argmax picks the FIRST max; COCOeval's loop keeps
     # the LAST tied gt, so argmax over the reversed gt axis.
     rev = slice(None, None, -1)
+    rows = np.arange(n)
     for di in range(d):
         row = iou[di][None, :]                               # [1, G]
-        ok = gt_avail & (row >= thr_eff)                     # [T, G]
+        ok = gt_avail & (row >= thr_eff)                     # [n, G]
         ok_un = ok & unignored
-        has_un = ok_un.any(axis=1)                           # [T]
+        has_un = ok_un.any(axis=1)                           # [n]
         # candidate set: unignored where any, else ignored
-        cand = np.where(has_un[:, None], ok_un, ok)          # [T, G]
-        masked = np.where(cand, row, -1.0)                   # [T, G]
+        cand = np.where(has_un[:, None], ok_un, ok)          # [n, G]
+        masked = np.where(cand, row, -1.0)                   # [n, G]
         best = g - 1 - np.argmax(masked[:, rev], axis=1)     # last tie wins
-        hit = cand[np.arange(t), best]
-        dt_m[:, di] = np.where(hit, best, -1)
-        gt_avail[np.arange(t), best] &= ~hit
-    return dt_m
+        hit = cand[rows, best]
+        flat[:, di] = np.where(hit, best, -1)
+        gt_avail[rows, best] &= ~hit
+    return dt_m[0] if gt_ignore.ndim == 1 else dt_m
 
 
 class COCOMeanAP:
@@ -119,11 +135,13 @@ class COCOMeanAP:
             if d["image_id"] in self._image_ids:
                 self.dts[(d["image_id"], d["category_id"])].append(d)
 
-    def _evaluate_img(self, img_id: int, cat: int,
-                      area_rng: Tuple[float, float]):
+    def _evaluate_img(self, img_id: int, cat: int) -> Optional[Dict]:
         """Match the top-maxDets(=100) detections at every IoU threshold for
-        one (image, category, area range) — pycocotools evaluateImg with
-        maxDet = p.maxDets[-1]; smaller maxDets truncate in _accumulate."""
+        one (image, category) across ALL area ranges in one matcher pass —
+        pycocotools evaluateImg with maxDet = p.maxDets[-1] (smaller maxDets
+        truncate in _accumulate); the IoU matrix and the matcher's per-
+        detection loop are shared across area ranges (pycocotools likewise
+        computes self.ious once per (img, cat)). Returns {area: eval}."""
         gts = self.gts.get((img_id, cat), [])
         dts = sorted(self.dts.get((img_id, cat), []),
                      key=lambda d: -d["score"])[:MAX_DETS[-1]]
@@ -131,39 +149,44 @@ class COCOMeanAP:
             return None
         gt_boxes = np.array([g["bbox"] for g in gts]).reshape(-1, 4)
         gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gts) else np.zeros(0)
-        # pycocotools convention: in-range is inclusive on BOTH ends
-        gt_ignore = ~((gt_area >= area_rng[0]) & (gt_area <= area_rng[1]))
-        # sort gts: unignored first (COCOeval convention)
-        gorder = np.argsort(gt_ignore, kind="stable")
-        gt_boxes = gt_boxes[gorder]
-        gt_ignore = gt_ignore[gorder]
-
         dt_boxes = np.array([d["bbox"] for d in dts]).reshape(-1, 4)
         dt_scores = np.array([d["score"] for d in dts])
+        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if len(dts) else np.zeros(0)
         iou = box_iou_xywh(dt_boxes, gt_boxes)
 
-        dt_m = _greedy_match(iou, gt_ignore, IOU_THRS)       # [T, D]
+        areas = list(AREA_RANGES.items())
+        # pycocotools convention: in-range is inclusive on BOTH ends
+        gt_ig = np.stack([~((gt_area >= lo) & (gt_area <= hi))
+                          for _, (lo, hi) in areas])          # [A, G]
+        dt_m = _greedy_match(iou, gt_ig, IOU_THRS)            # [A, T, D]
 
-        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if len(dts) else np.zeros(0)
-        dt_out_of_range = ~((dt_area >= area_rng[0]) & (dt_area <= area_rng[1]))
-        # unmatched out-of-range detections are ignored; matched-to-ignored too
-        matched = dt_m >= 0
-        if len(gts):
-            ign_gt = np.where(matched, gt_ignore[np.clip(dt_m, 0, None)],
-                              False)
-        else:
-            ign_gt = np.zeros_like(matched)
-        dt_ignore = ign_gt | (~matched & dt_out_of_range[None, :])
-        return dict(scores=dt_scores, matched=matched, dt_ignore=dt_ignore,
-                    num_gt=int(np.sum(~gt_ignore)))
+        out = {}
+        for ai, (name, (lo, hi)) in enumerate(areas):
+            gt_ignore = gt_ig[ai]
+            m = dt_m[ai]                                      # [T, D]
+            matched = m >= 0
+            if len(gts):
+                ign_gt = np.where(matched, gt_ignore[np.clip(m, 0, None)],
+                                  False)
+            else:
+                ign_gt = np.zeros_like(matched)
+            dt_oor = ~((dt_area >= lo) & (dt_area <= hi))
+            # unmatched out-of-range detections are ignored;
+            # matched-to-ignored too
+            dt_ignore = ign_gt | (~matched & dt_oor[None, :])
+            out[name] = dict(scores=dt_scores, matched=matched,
+                             dt_ignore=dt_ignore,
+                             num_gt=int(np.sum(~gt_ignore)))
+        return out
 
     def _img_evals(self, cat: int, area: str) -> List[Dict]:
         key = (cat, area)
         if key not in self._eval_cache:
-            area_rng = AREA_RANGES[area]
-            evals = [self._evaluate_img(i, cat, area_rng)
+            evals = [self._evaluate_img(i, cat)
                      for i in sorted(self._image_ids)]
-            self._eval_cache[key] = [e for e in evals if e is not None]
+            for name in AREA_RANGES:
+                self._eval_cache[(cat, name)] = [
+                    e[name] for e in evals if e is not None]
         return self._eval_cache[key]
 
     def _accumulate(self, max_dets: int, area: str
