@@ -168,6 +168,12 @@ class SegmentCfg:
     # recomputing them costs one extra head forward. Unlocks larger train
     # batches; see backbone.remat for the stage-level backbone analog.
     remat: bool = False
+    # hydranet_tpu extension: train-time phase CE — the final seg stage
+    # emits phase logits (4*C channels at half resolution) and the CE
+    # consumes exact per-phase slices; identical loss/gradients (pixel
+    # reductions are permutation-invariant) without ever materializing
+    # the full-res C=5 logits, whose minor dim lane-pads 5 -> 128 on TPU.
+    phase_loss: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "class_list", tuple(self.class_list))

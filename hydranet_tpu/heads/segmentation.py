@@ -194,12 +194,16 @@ class _OutputConvShim(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_low, emit_argmax: bool = False):
-        if not emit_argmax:
+    def __call__(self, x_low, emit_argmax: bool = False,
+                 emit_phase: bool = False):
+        if not (emit_argmax or emit_phase):
             return _FusedUpConv3x3(self.features, dtype=self.dtype,
                                    name="conv")(x_low)
         from hydranet_tpu.ops.fused_upsample_conv import (
-            upsample2x_conv3x3_argmax)
+            upsample2x_conv3x3_argmax, upsample2x_conv3x3_phase_logits)
+
+        fn = (upsample2x_conv3x3_phase_logits if emit_phase
+              else upsample2x_conv3x3_argmax)
 
         # identical param tree (<name>/conv/kernel, bias) as the logits path
         class _Leaf(nn.Module):
@@ -214,9 +218,8 @@ class _OutputConvShim(nn.Module):
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,))
                 dtype = self.dtype or x.dtype
-                return upsample2x_conv3x3_argmax(
-                    x.astype(dtype), kernel.astype(dtype),
-                    bias.astype(dtype))
+                return fn(x.astype(dtype), kernel.astype(dtype),
+                          bias.astype(dtype))
 
         return _Leaf(self.features, dtype=self.dtype, name="conv")(x_low)
 
@@ -244,7 +247,7 @@ class SegmentHead(nn.Module):
 
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
-                 emit_argmax: bool = False):
+                 emit_argmax: bool = False, emit_phase: bool = False):
         n = len(self.num_ch_enc)
         x = input_features[-1]
         for i in range(n):
@@ -258,10 +261,15 @@ class SegmentHead(nn.Module):
             x = UpConvBlock(ch, dtype=self.dtype,
                             name=f"decoder_{2 * i + 1}")(x, skip)
         # final: conv3x3(reflect_pad(up2(x))), no activation; inference
-        # decode (emit_argmax) folds the class argmax into this stage
+        # decode (emit_argmax) folds the class argmax into this stage;
+        # training (emit_phase) emits the phase logits for the phase CE
+        # (the full-res 5-channel logits lane-pad 5 -> 128 on TPU and
+        # exist only to be re-read by the loss — see
+        # ops/fused_upsample_conv.py::upsample2x_conv3x3_phase_logits)
         out = _OutputConvShim(self.num_output_channels, dtype=self.dtype,
-                              name=f"decoder_{2 * n}")(x,
-                                                       emit_argmax=emit_argmax)
+                              name=f"decoder_{2 * n}")(
+                                  x, emit_argmax=emit_argmax,
+                                  emit_phase=emit_phase)
         return out
 
     @staticmethod

@@ -57,6 +57,52 @@ def _topk_sum_bitsearch(loss: jnp.ndarray, k: int) -> jnp.ndarray:
     return s_gt + (k - c_gt) / n_eq * s_eq
 
 
+def _ce_per_pixel(
+    logits: jnp.ndarray,  # [..., C]
+    target: jnp.ndarray,  # [...] int
+    weights: jnp.ndarray,  # [C]
+    ignore_index: int,
+    use_focal: bool,
+    gamma: float,
+    alpha: float,
+) -> jnp.ndarray:
+    """Per-pixel weighted CE / focal value, rank-agnostic ([..., C] logits)."""
+    c = logits.shape[-1]
+    target = target.astype(jnp.int32)
+    if use_focal:
+        # reference segmentation_loss.py:30-45 (including its eps terms)
+        eps = 1e-8
+        p = jax.nn.softmax(logits, axis=-1) + eps
+        one_hot = jax.nn.one_hot(target, c, dtype=logits.dtype) + eps
+        focal_w = jnp.power(1.0 - p, gamma)
+        focal = -alpha * focal_w * jnp.log(p) * weights
+        return jnp.sum(one_hot * focal, axis=-1)
+    valid = target != ignore_index
+    tgt = jnp.where(valid, target, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # per-pixel class pick + weight lookup as one-hot contractions: a
+    # take_along_axis gather at this shape costs 208 ms/step on v5e vs
+    # 3 ms for the contraction (TPU gathers are row-serial). Summing
+    # value*{0,1} over C is exact, so numerics equal the gather form.
+    one_hot = (tgt[..., None] == jnp.arange(c)).astype(logits.dtype)
+    nll = -jnp.sum(logp * one_hot, axis=-1)
+    pix_w = jnp.sum(one_hot * weights, axis=-1)
+    return nll * pix_w * valid.astype(logits.dtype)
+
+
+def _ce_reduce(loss: jnp.ndarray,  # [B, N] per-pixel values
+               use_top_k: bool, top_k_ratio: float,
+               use_focal: bool) -> jnp.ndarray:
+    if use_top_k and not use_focal:
+        # penalize the top-k hardest pixels — segmentation_loss.py:59-63.
+        # top-k-as-threshold (exact sum, no sort): 251 -> ~4 ms at bs32.
+        k = int(top_k_ratio * loss.shape[1])
+        if k < 1:
+            k = 1
+        return jnp.mean(_topk_sum_bitsearch(loss, k) / k)
+    return jnp.mean(loss)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,  # [B, H, W, C]
     target: jnp.ndarray,  # [B, H, W] int
@@ -75,43 +121,42 @@ def cross_entropy_loss(
     equal to ignore_index contribute 0, and the final reduction is a plain
     mean over all (b, h*w) entries (torch reduction='none' then .mean()).
     """
-    b, h, w, c = logits.shape
+    b = logits.shape[0]
     weights = jnp.asarray(class_weights, dtype=logits.dtype)
-    target = target.astype(jnp.int32)
+    per = _ce_per_pixel(logits, target, weights, ignore_index,
+                        use_focal, gamma, alpha)
+    return _ce_reduce(per.reshape(b, -1), use_top_k, top_k_ratio, use_focal)
 
-    if use_focal:
-        # reference segmentation_loss.py:30-45 (including its eps terms)
-        eps = 1e-8
-        p = jax.nn.softmax(logits, axis=-1) + eps
-        one_hot = jax.nn.one_hot(target, c, dtype=logits.dtype) + eps
-        focal_w = jnp.power(1.0 - p, gamma)
-        focal = -alpha * focal_w * jnp.log(p) * weights[None, None, None, :]
-        loss = jnp.sum(one_hot * focal, axis=-1)
-        loss = loss.reshape(b, -1)
-        return jnp.mean(loss)
 
-    valid = target != ignore_index
-    tgt = jnp.where(valid, target, 0)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    # per-pixel class pick + weight lookup as one-hot contractions: a
-    # take_along_axis gather at this shape costs 208 ms/step on v5e vs
-    # 3 ms for the contraction (TPU gathers are row-serial). Summing
-    # value*{0,1} over C is exact, so numerics equal the gather form.
-    one_hot = (tgt[..., None] ==
-               jnp.arange(c)[None, None, None, :]).astype(logits.dtype)
-    nll = -jnp.sum(logp * one_hot, axis=-1)
-    pix_w = jnp.sum(one_hot * weights[None, None, None, :], axis=-1)
-    loss = nll * pix_w * valid.astype(logits.dtype)
-    loss = loss.reshape(b, -1)
+def cross_entropy_loss_phases(
+    phase_pairs,  # sequence of (logits [B, H, W, C], target [B, H, W])
+    class_weights: Sequence[float],
+    ignore_index: int = 255,
+    use_top_k: bool = False,
+    top_k_ratio: float = 1.0,
+    use_focal: bool = False,
+    gamma: float = 2.0,
+    alpha: float = 1.0,
+) -> jnp.ndarray:
+    """CE over a pixel PARTITION given as equal-size phase slices.
 
-    if use_top_k:
-        # penalize the top-k hardest pixels — segmentation_loss.py:59-63.
-        # top-k-as-threshold (exact sum, no sort): 251 -> ~4 ms at bs32.
-        k = int(top_k_ratio * loss.shape[1])
-        if k < 1:
-            k = 1
-        return jnp.mean(_topk_sum_bitsearch(loss, k) / k)
-    return jnp.mean(loss)
+    Exactly `cross_entropy_loss(interleave(phases), interleave(targets))`:
+    every reduction (mean, top-k threshold counting, focal mean) is
+    invariant to any permutation of pixels, so evaluating the per-pixel
+    values on de-interleaved slices and concatenating is the identical
+    loss — without ever materializing the full-resolution logits tensor
+    (at C=5 its minor dim lane-pads 5 -> 128 on TPU: 6.4 GB physical at
+    bs64/640^2 that exists only to be re-read by the loss). Used by the
+    seg head's train-time phase output (heads/segmentation.py)."""
+    b = phase_pairs[0][0].shape[0]
+    weights = jnp.asarray(class_weights, dtype=phase_pairs[0][0].dtype)
+    per = [
+        _ce_per_pixel(lg, tg, weights, ignore_index, use_focal, gamma,
+                      alpha).reshape(b, -1)
+        for lg, tg in phase_pairs
+    ]
+    return _ce_reduce(jnp.concatenate(per, axis=1),
+                      use_top_k, top_k_ratio, use_focal)
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:

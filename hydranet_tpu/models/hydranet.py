@@ -23,7 +23,8 @@ from hydranet_tpu.heads.detection_loss import focal_loss
 from hydranet_tpu.heads.lane import LaneHead
 from hydranet_tpu.heads.lane_loss import lane_cls_loss, lane_reg_loss
 from hydranet_tpu.heads.segmentation import SegmentHead
-from hydranet_tpu.heads.segmentation_loss import cross_entropy_loss, lovasz_softmax
+from hydranet_tpu.heads.segmentation_loss import (
+    cross_entropy_loss, cross_entropy_loss_phases, lovasz_softmax)
 from hydranet_tpu.models.bifpn import StackBiFPN
 from hydranet_tpu.models.regnet import RegNetY
 
@@ -70,16 +71,25 @@ class HydraNet(nn.Module):
                 dtype=self.dtype, name="segheader")
             # inputs: [backbone stage0, P3, P4, P5] — model.py:166-172
             seg_in = [feats[0], fused[0], fused[1], fused[2]]
+            # train-time phase CE (segment.phase_loss): the final stage
+            # emits phase logits; compute_losses consumes the exact
+            # per-phase slices (key "seg_phase")
+            emit_phase = bool(cfg.segment.phase_loss and train
+                              and not seg_argmax
+                              and not cfg.segment.use_lovasz)
+            key = "seg_phase" if emit_phase else "seg"
             if cfg.segment.remat and train:
                 # checkpoint the WHOLE decoder: backward recomputes it from
                 # the 4 (small) input features instead of storing every
                 # decoder stage's activations (the largest tensors in the
                 # train step) — config.segment.remat
-                out["seg"] = nn.remat(
-                    lambda mdl, f: mdl(f, emit_argmax=seg_argmax))(
+                out[key] = nn.remat(
+                    lambda mdl, f: mdl(f, emit_argmax=seg_argmax,
+                                       emit_phase=emit_phase))(
                         seg, seg_in)
             else:
-                out["seg"] = seg(seg_in, emit_argmax=seg_argmax)
+                out[key] = seg(seg_in, emit_argmax=seg_argmax,
+                               emit_phase=emit_phase)
 
         if cfg.train.train_detect:
             det = DetectionHead(
@@ -116,12 +126,28 @@ class HydraNet(nn.Module):
         losses: Dict[str, jnp.ndarray] = {}
 
         if cfg.train.train_seg:
-            logits = outputs["seg"]
             gt = batch["gt_seg"].astype(jnp.int32)
-            if cfg.segment.use_lovasz:
+            if "seg_phase" in outputs:
+                # phase CE: exact per-phase slices of the phase logits +
+                # the matching strided views of gt (pixel partitions —
+                # identical loss, no full-res logits tensor)
+                from hydranet_tpu.ops.fused_upsample_conv import phase_slices
+
+                z = outputs["seg_phase"]
+                cout = cfg.segment.num_classes
+                pairs = [(lg, gt[:, di::2, dj::2])
+                         for (di, dj), lg in phase_slices(z, cout)]
+                losses["loss_seg"] = cross_entropy_loss_phases(
+                    pairs, cfg.segment.class_weight,
+                    use_top_k=cfg.segment.use_top_k,
+                    top_k_ratio=cfg.segment.top_k_ratio,
+                    use_focal=cfg.segment.use_focal)
+            elif cfg.segment.use_lovasz:
+                logits = outputs["seg"]
                 losses["loss_seg"] = lovasz_softmax(
                     jax.nn.softmax(logits, axis=-1), gt, ignore=255)
             else:
+                logits = outputs["seg"]
                 losses["loss_seg"] = cross_entropy_loss(
                     logits, gt, cfg.segment.class_weight,
                     use_top_k=cfg.segment.use_top_k,

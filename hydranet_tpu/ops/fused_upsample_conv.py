@@ -126,6 +126,33 @@ def _phase_logits_zsplit(x: jnp.ndarray, kernel: jnp.ndarray,
     return y + jnp.tile(bias, 4).astype(y.dtype)
 
 
+def upsample2x_conv3x3_phase_logits(x: jnp.ndarray, kernel: jnp.ndarray,
+                                    bias: jnp.ndarray) -> jnp.ndarray:
+    """Phase logits [B, H+1, W+1, 4*Cout] of conv3x3(reflect_pad(up2(x))) —
+    the full-resolution logits NEVER materialize. Full-res pixel
+    (2i+di, 2j+dj) corresponds to phase (di, dj) (phase-major channel
+    blocks) at cell offset given by `phase_slices`. Train-time analogue of
+    the emit_argmax decode: at Cout=5 the full-res tensor lane-pads
+    5 -> 128 (6.4 GB physical at bs64), and both the loss read and the
+    backward cotangent pay it; the phase tensor is 20 channels once."""
+    pk = _phase_kernels(kernel)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, pk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y + jnp.tile(bias, 4).astype(y.dtype)
+
+
+def phase_slices(z: jnp.ndarray, cout: int):
+    """The four exact phase views of `upsample2x_conv3x3_phase_logits`
+    output: [(di, dj), logits [B, H, W, cout]] in phase-major order."""
+    return [((0, 0), z[:, :-1, :-1, 0 * cout:1 * cout]),
+            ((0, 1), z[:, :-1, 1:, 1 * cout:2 * cout]),
+            ((1, 0), z[:, 1:, :-1, 2 * cout:3 * cout]),
+            ((1, 1), z[:, 1:, 1:, 3 * cout:4 * cout])]
+
+
 def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
                               bias: jnp.ndarray) -> jnp.ndarray:
     """argmax_c(conv3x3(reflect_pad(up2(x))) + bias) without EVER forming

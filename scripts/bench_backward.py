@@ -38,7 +38,11 @@ timed = functools.partial(_timed, iters=ITERS, width=42)
 
 
 def _sum_outputs(out):
-    return sum(jnp.sum(t.astype(jnp.float32))
+    # sum of SQUARES, not sum: a plain sum makes the cotangent a constant
+    # ones tensor and XLA algebraically collapses the weight-grad convs
+    # (measured: upconv dk 6.7 ms < its own fwd 13.1 ms). dy = 2*out is
+    # data-dependent like a real loss cotangent.
+    return sum(jnp.sum(jnp.square(t.astype(jnp.float32)))
                for t in jax.tree_util.tree_leaves(out)
                if hasattr(t, "astype"))
 
@@ -144,10 +148,10 @@ def main():
                   lambda k, xv, f=form: f(xv, k), kk, xx)
             timed(f"  upconv {fname} {tag} dk",
                   jax.grad(lambda k, xv, f=form:
-                           jnp.sum(f(xv, k).astype(jnp.float32))), kk, xx)
+                           jnp.sum(jnp.square(f(xv, k).astype(jnp.float32)))), kk, xx)
             timed(f"  upconv {fname} {tag} dx",
                   jax.grad(lambda xv, k, f=form:
-                           jnp.sum(f(xv, k).astype(jnp.float32))), xx, kk)
+                           jnp.sum(jnp.square(f(xv, k).astype(jnp.float32)))), xx, kk)
 
 
 if __name__ == "__main__":
