@@ -60,7 +60,8 @@ def make_batch(cfg, batch_size, h, w):
 
 
 def run_cell(batch_size: int, remat: bool, iters: int,
-             dtype: str = "bfloat16", seg_remat: bool = False) -> dict:
+             dtype: str = "bfloat16", seg_remat: bool = False,
+             phase: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -73,10 +74,11 @@ def run_cell(batch_size: int, remat: bool, iters: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(repo,
                                    "configs/hydranet_joint_big_backbone.yml"))
-    if remat or seg_remat:
+    if remat or seg_remat or phase:
         d = cfg.to_dict()
         d["backbone"]["remat"] = remat
         d["segment"]["remat"] = seg_remat
+        d["segment"]["phase_loss"] = phase
         cfg = Config.from_dict(d)
 
     model = HydraNet(cfg=cfg, dtype={"bfloat16": jnp.bfloat16,
@@ -113,6 +115,7 @@ def run_cell(batch_size: int, remat: bool, iters: int,
         "batch_size": batch_size,
         "remat": remat,
         "seg_remat": seg_remat,
+        "phase_loss": phase,
         "dtype": dtype,
         "samples_per_s": round(batch_size / dt, 2),
         "step_ms": round(dt * 1000, 1),
@@ -138,11 +141,13 @@ def run_cell(batch_size: int, remat: bool, iters: int,
 
 def main():
     sweep = "--sweep" in sys.argv or os.environ.get("BENCH_TRAIN_SWEEP") == "1"
+    phase_env = os.environ.get("HN_PHASE_LOSS", "0") == "1"
     if not sweep:
-        cell = run_cell(BATCH, remat=False, iters=ITERS)
+        cell = run_cell(BATCH, remat=False, iters=ITERS, phase=phase_env)
         print(json.dumps({
             "metric": (f"train step (3-head fwd+loss+bwd+Adam, bs{BATCH}, "
-                       "640x640, bf16 compute)"),
+                       "640x640, bf16 compute"
+                       + (", phase CE" if phase_env else "") + ")"),
             "value": cell["samples_per_s"],
             "unit": "samples/sec/chip",
             **{k: v for k, v in cell.items() if k != "samples_per_s"},
@@ -150,23 +155,29 @@ def main():
         return
 
     results = []
-    cells = [(bs, remat, "bfloat16", False) for bs in (8, 16, 32, 64)
+    cells = [(bs, remat, "bfloat16", False, False) for bs in (8, 16, 32, 64)
              for remat in (False, True)]
     # one f32-compute cell at the headline batch: quantifies what the
     # trainer's compute_dtype=bfloat16 knob buys over the f32 default
-    cells.append((64, False, "float32", False))
+    cells.append((64, False, "float32", False, False))
     # large-batch cells with the seg-decoder checkpoint (segment.remat):
     # the decoder holds the largest activations, so seg-only remat (and
     # +backbone remat at bs128) may fit batches that OOM above, at one
     # extra head-forward of recompute
-    cells += [(96, False, "bfloat16", True), (128, False, "bfloat16", True),
-              (128, True, "bfloat16", True)]
-    for bs, remat, dtype, seg_remat in cells:
+    cells += [(96, False, "bfloat16", True, False),
+              (128, False, "bfloat16", True, False),
+              (128, True, "bfloat16", True, False)]
+    # phase-CE cells (segment.phase_loss; see heads/segmentation_loss.py
+    # ::cross_entropy_loss_phases): the final seg stage's full-res logits
+    # + cotangent measured ~64 ms of the bs64 step (bench_backward_r3)
+    cells += [(64, False, "bfloat16", False, True),
+              (128, False, "bfloat16", True, True)]
+    for bs, remat, dtype, seg_remat, phase in cells:
         try:
-            cell = run_cell(bs, remat, ITERS, dtype, seg_remat)
+            cell = run_cell(bs, remat, ITERS, dtype, seg_remat, phase)
         except Exception as e:  # OOM is a data point, not a crash
             cell = {"batch_size": bs, "remat": remat, "seg_remat": seg_remat,
-                    "dtype": dtype,
+                    "phase_loss": phase, "dtype": dtype,
                     "error": type(e).__name__,
                     "msg": str(e).splitlines()[0][:160]}
         results.append(cell)

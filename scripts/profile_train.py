@@ -56,6 +56,10 @@ def build(cfg_dict):
     from hydranet_tpu.train.optimizer import make_optimizer
     from bench_train import make_batch
 
+    if os.environ.get("HN_PHASE_LOSS", "0") == "1":
+        cfg_dict = {k: (dict(v) if isinstance(v, dict) else v)
+                    for k, v in cfg_dict.items()}
+        cfg_dict["segment"]["phase_loss"] = True
     cfg = Config.from_dict(cfg_dict)
     model = HydraNet(cfg=cfg, dtype=jnp.bfloat16)
     h, w = cfg.input_hw
