@@ -146,3 +146,26 @@ def test_model_phase_loss_with_remat():
     # eval forward still returns full-res logits under key "seg"
     out_eval = model.apply(variables, x, train=False)
     assert out_eval["seg"].shape == (2, 128, 128, 3)
+
+
+@pytest.mark.slow
+def test_trainer_epoch_with_phase_loss(tmp_path):
+    """HydraTrainer end-to-end with segment.phase_loss: the train step
+    consumes the phase output while validation still decodes full-res
+    logits and computes mIoU."""
+    from hydranet_tpu.config import Config
+    from hydranet_tpu.train.trainer import HydraTrainer
+    from tests.synth_data import make_dataset
+
+    root = make_dataset(str(tmp_path / "data"), n_train=4, n_valid=2)
+    d = small_config().to_dict()
+    d["dataloader"]["data_list"] = f"{root}/list"
+    d["dataloader"]["with_aug"] = False
+    d["segment"]["phase_loss"] = True
+    d["train"].update(dict(epoch=1, batch_size_train=2, batch_size_valid=2,
+                           lr=1e-4, fine_tuning=False,
+                           logs=str(tmp_path / "logs")))
+    trainer = HydraTrainer(Config.from_dict(d), use_mesh=False)
+    trainer.train_one_epoch(0)
+    summary = trainer.valid(0)
+    assert "mIoU" in summary and np.isfinite(summary["mIoU"])
