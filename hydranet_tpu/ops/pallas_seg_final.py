@@ -15,10 +15,17 @@ Exactness: identical products/adds as `_phase_logits_zsplit`
 (fused_upsample_conv.py) with f32 accumulation; the argmax consumer is
 tie-identical to the XLA path away from float-associativity ties.
 
-Row-block partition: y rows H+1 are tiled into `nb` blocks of RB rows
-(RB divides H+1); each block needs x rows [RB*i - 1, RB*i + RB - 1]
-(clamped), fetched through a `pl.Element` view so the halo needs no
-input padding or copy.
+Row-block partition: y rows H+1 are tiled into `nb` blocks of RB rows,
+with RB chosen under an explicit VMEM budget (double-buffered in/out
+blocks + the f32 z scratch must stay well under Mosaic's 16 MB scoped
+limit — the tower kernel's lesson: a naive estimate that ignores
+double-buffering crashed on hardware). RB need not divide H+1: the
+output is padded to nb*RB rows (padded rows compute clamped-row values
+and are sliced off), which matters because H+1 = 321 = 3 * 107 in the
+production shape and rb=107 busts the budget while rb=3 drowns in grid
+overhead. Each block needs x rows [RB*i - 1, RB*i + RB - 1] (clamped),
+fetched through a `pl.Element` view so the halo needs no input padding
+or copy.
 """
 
 from __future__ import annotations
@@ -33,13 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 from hydranet_tpu.ops.fused_upsample_conv import _phase_kernels
 
 
-def _row_block(h_out: int, max_rb: int = 128) -> int:
-    """Largest divisor of h_out with rb <= max_rb AND rb + 1 <= h_out - 1
-    (the rb+1-row Element view must fit inside the H = h_out-1 input rows)."""
-    for rb in range(min(max_rb, h_out - 2), 0, -1):
-        if h_out % rb == 0:
-            return rb
-    return 1
+_VMEM_BUDGET = 12 * 2**20  # conservative vs Mosaic's 16 MB scoped limit
+
+
+def _vmem_bytes(rb: int, w: int, c: int, n: int, itemsize: int) -> int:
+    """Per-core VMEM for one grid step: double-buffered x block and y block
+    (Pallas pipelines grid DMA), single f32 z scratch, and the weights."""
+    in_b = 2 * (rb + 1) * w * c * itemsize
+    out_b = 2 * rb * (w + 1) * n * itemsize
+    scratch = (rb + 1) * (w + 1) * 2 * n * 4
+    k2 = 2 * c * 2 * n * itemsize
+    return in_b + out_b + scratch + k2 + 4 * n
+
+
+def _row_block(h_out: int, w: int, c: int, n: int, itemsize: int,
+               max_rb: int = 128) -> tuple:
+    """(rb, nb, h_pad): the largest rb <= max_rb fitting the VMEM budget
+    with rb + 1 <= h_out - 1 (the rb+1-row Element view must fit inside the
+    H = h_out-1 input rows), then shrunk to ceil(h_out / nb) so the padded
+    output nb*rb overhangs h_out by at most nb-1 rows."""
+    hi = max(1, min(max_rb, h_out - 2))
+    rb = next((r for r in range(hi, 1, -1)
+               if _vmem_bytes(r, w, c, n, itemsize) <= _VMEM_BUDGET), 1)
+    nb = -(-h_out // rb)
+    rb = -(-h_out // nb)
+    return rb, nb, nb * rb
 
 
 def supports(x_shape, cout: int) -> bool:
@@ -100,8 +125,7 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     bias_t = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, n)
 
     h_out = h + 1
-    rb = _row_block(h_out)
-    nb = h_out // rb
+    rb, nb, h_pad = _row_block(h_out, w, c, n, jnp.dtype(x.dtype).itemsize)
     grid = (b, nb)
 
     in_specs = [
@@ -118,12 +142,12 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                             lambda bi, i: (bi, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_kernel, rb=rb, h=h, w=w, n=n),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w + 1, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w + 1, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((rb + 1, w + 1, 2 * n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (h + 2) * (w + 1) * 2 * c * 2 * n,
@@ -133,3 +157,6 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
         ),
         interpret=interpret,
     )(x, k2, bias_t)
+    # padded rows (clamped-x garbage) are sliced off; consumers slice the
+    # phase tensor anyway, so XLA fuses this into the argmax/interleave
+    return y if h_pad == h_out else y[:, :h_out]
