@@ -334,6 +334,16 @@ class HydraTrainer:
         h, w = cfg.input_hw
         if self.precise_bn_step is not None:
             self._precise_bn()
+        # Fresh accumulators per validation epoch. The reference never
+        # resets these (train.py:174,188-189 build them once at init and
+        # compute()/summary() don't clear), so its per-epoch mIoU / lane F1
+        # are actually running averages over ALL validations so far —
+        # later epochs are understated. Fixed here; COCO eval already
+        # resets below.
+        if self.train_seg:
+            self.metric_evaluator_iou.reset()
+        if self.train_lane:
+            self.lane_metric.reset()
         detect_result: List[Dict] = []
         n = len(self.validloader)
 

@@ -32,6 +32,21 @@ def test_fit_one_epoch(tmp_path):
 
     assert "mIoU" in summary and np.isfinite(summary["mIoU"])
     assert "lane_f1" in summary
+
+    # valid() must start from fresh metric accumulators each epoch (the
+    # reference never resets them — train.py:174,188-189 — so its reported
+    # per-epoch metrics are running averages over all validations so far).
+    # Poison the accumulators; a correct valid() is unaffected. precise-BN
+    # is disabled for the pair so batch_stats (and thus predictions) are
+    # identical across the two calls.
+    trainer.precise_bn_step = None
+    summary1 = trainer.valid(0)
+    trainer.metric_evaluator_iou.fp += 1e6
+    trainer.lane_metric.metric_handlers[0].result_record.append(
+        dict(hit_num=0, pr_num=10 ** 6, gt_num=10 ** 6))
+    summary2 = trainer.valid(0)
+    assert summary2["mIoU"] == pytest.approx(summary1["mIoU"])
+    assert summary2["lane_f1"] == pytest.approx(summary1["lane_f1"])
     # detection AP present when the synthetic GT json machinery found labels
     ckpts = glob.glob(os.path.join(trainer.model_save_dir, "epoch_0*"))
     assert ckpts, "checkpoint not written"
