@@ -96,7 +96,10 @@ def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
             a, k2_ref[:], preferred_element_type=jnp.float32)[None]
         return 0
 
-    jax.lax.fori_loop(0, rb + 1, zrow, 0, unroll=2)
+    # Mosaic lowers fori_loop only at unroll=1 or full unroll (hardware
+    # lowering rejects unroll=2); full unroll of ~100 MXU dots blows up
+    # compile time, so stay at 1.
+    jax.lax.fori_loop(0, rb + 1, zrow, 0)
 
     def yrow(s, _):
         z0 = z_ref[pl.ds(s, 1)][0]
@@ -105,7 +108,7 @@ def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
         out_ref[pl.ds(s, 1)] = y.astype(out_ref.dtype)[None]
         return 0
 
-    jax.lax.fori_loop(0, rb, yrow, 0, unroll=2)
+    jax.lax.fori_loop(0, rb, yrow, 0)
 
 
 def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
