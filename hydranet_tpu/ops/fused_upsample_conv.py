@@ -169,12 +169,16 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     consumers; the interleave itself runs on int8)."""
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
-    if os.environ.get("HN_PALLAS_SEGFINAL", "0") == "1":
+    segfinal = os.environ.get("HN_PALLAS_SEGFINAL", "0")
+    if segfinal in ("1", "2"):
         from hydranet_tpu.ops import pallas_seg_final
 
         if pallas_seg_final.supports(x.shape, cout):
-            # VMEM-resident z-split kernel (see pallas_seg_final.py)
-            y = pallas_seg_final.phase_logits_pallas(x, kernel, bias)
+            # VMEM-resident z-split kernel (see pallas_seg_final.py);
+            # "2" = full-unrolled row loops (Mosaic interleaves VPU
+            # assembly with the MXU dots; longer compiles)
+            y = pallas_seg_final.phase_logits_pallas(
+                x, kernel, bias, unroll=(segfinal == "2"))
             return _phase_argmax_interleave(y, b, h, w, cout)
     if os.environ.get("HN_ZSPLIT", "0") == "1":
         # z-split reassociation: MEASURED NEGATIVE at bs128/320^2/64->5

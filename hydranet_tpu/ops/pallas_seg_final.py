@@ -31,6 +31,7 @@ or copy.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,8 @@ def supports(x_shape, cout: int) -> bool:
     return c == 64 and cout <= 16 and h >= 8 and w >= 8
 
 
-def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
+def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n,
+            unroll=False):
     """One (image, row-block): z rows via MXU dots, y rows via VPU adds.
 
     x_ref   [rb+1, W, 64]   input rows (Element view, start clamped)
@@ -97,9 +99,12 @@ def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
         return 0
 
     # Mosaic lowers fori_loop only at unroll=1 or full unroll (hardware
-    # lowering rejects unroll=2); full unroll of ~100 MXU dots blows up
-    # compile time, so stay at 1.
-    jax.lax.fori_loop(0, rb + 1, zrow, 0)
+    # lowering rejects unroll=2). Full unroll lets the Mosaic scheduler
+    # interleave the VPU row assembly with the MXU dots across iterations
+    # (at unroll=1 each tiny [W+1,128]x[128,2n] dot serializes behind its
+    # row's concats); the cost is compile time, so it's a variant knob.
+    jax.lax.fori_loop(0, rb + 1, zrow, 0,
+                      unroll=(rb + 1) if unroll else 1)
 
     def yrow(s, _):
         z0 = z_ref[pl.ds(s, 1)][0]
@@ -108,17 +113,27 @@ def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n):
         out_ref[pl.ds(s, 1)] = y.astype(out_ref.dtype)[None]
         return 0
 
-    jax.lax.fori_loop(0, rb, yrow, 0)
+    jax.lax.fori_loop(0, rb, yrow, 0, unroll=rb if unroll else 1)
 
 
 def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                         bias: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Phase logits [B, H+1, W+1, 4*Cout] — VMEM-resident z-split."""
+                        interpret: bool = False,
+                        unroll: bool = False,
+                        max_rb: int = None) -> jnp.ndarray:
+    """Phase logits [B, H+1, W+1, 4*Cout] — VMEM-resident z-split.
+
+    unroll: fully unroll the per-row loops (Mosaic scheduler can then
+    overlap assembly/dots; compile time grows with rb). max_rb caps the
+    row-block size (smaller blocks = more pipelined grid steps with
+    shorter loops); default 128, env HN_SEGFINAL_RB overrides.
+    """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
     n = 4 * cout
     assert supports(x.shape, cout), (x.shape, cout)
+    if max_rb is None:
+        max_rb = int(os.environ.get("HN_SEGFINAL_RB", "128"))
 
     # weights in x.dtype (same operand precision as the XLA phase conv;
     # the dot still accumulates f32 via preferred_element_type)
@@ -128,7 +143,8 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     bias_t = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, n)
 
     h_out = h + 1
-    rb, nb, h_pad = _row_block(h_out, w, c, n, jnp.dtype(x.dtype).itemsize)
+    rb, nb, h_pad = _row_block(h_out, w, c, n, jnp.dtype(x.dtype).itemsize,
+                               max_rb=max_rb)
     grid = (b, nb)
 
     in_specs = [
@@ -146,7 +162,7 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                             memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
-        functools.partial(_kernel, rb=rb, h=h, w=w, n=n),
+        functools.partial(_kernel, rb=rb, h=h, w=w, n=n, unroll=unroll),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,

@@ -109,6 +109,24 @@ def main():
     timed("e) pallas kernel alone (phase logits out)",
           lambda x: phase_logits_pallas(x, k, bias), x)
 
+    # full-unrolled row loops: Mosaic can interleave the per-row VPU
+    # assembly with the MXU dots (at unroll=1 they serialize); sweep the
+    # row-block size — smaller rb = shorter unrolled loops + more
+    # pipelined grid steps
+    for rb in (None, 32, 16):
+        tag = f"rb={rb}" if rb else "rb=max"
+        try:
+            gotu = np.asarray(phase_logits_pallas(
+                x[:2], k, bias, unroll=True, max_rb=rb or 128))
+            yref = np.asarray(phase_logits_pallas(x[:2], k, bias))
+            assert np.array_equal(gotu, yref), f"unroll {tag} mismatch"
+            timed(f"f) pallas unrolled loops ({tag})",
+                  lambda x, rb=rb: phase_logits_pallas(
+                      x, k, bias, unroll=True, max_rb=rb or 128), x)
+        except Exception as e:  # keep later cells alive past one failure
+            print(f"f) pallas unrolled ({tag}) FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()
