@@ -28,8 +28,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
+# bs128 only fits (and only COMPILES: the no-remat bs>=96 programs kill
+# the remote compile helper) with backbone remat + the seg-decoder
+# checkpoint; measured best cell of the r3 sweep: 237.0 samples/s /
+# 46.7 TF/s vs 169.2 at bs64-no-remat (artifacts/bench_train_sweep_r3.log)
+REMAT = os.environ.get("BENCH_TRAIN_REMAT", "1" if BATCH >= 96 else "0") == "1"
+SEG_REMAT = os.environ.get(
+    "BENCH_TRAIN_SEG_REMAT", "1" if BATCH >= 96 else "0") == "1"
 
 
 def make_batch(cfg, batch_size, h, w):
@@ -143,10 +150,13 @@ def main():
     sweep = "--sweep" in sys.argv or os.environ.get("BENCH_TRAIN_SWEEP") == "1"
     phase_env = os.environ.get("HN_PHASE_LOSS", "0") == "1"
     if not sweep:
-        cell = run_cell(BATCH, remat=False, iters=ITERS, phase=phase_env)
+        cell = run_cell(BATCH, remat=REMAT, iters=ITERS,
+                        seg_remat=SEG_REMAT, phase=phase_env)
         print(json.dumps({
             "metric": (f"train step (3-head fwd+loss+bwd+Adam, bs{BATCH}, "
                        "640x640, bf16 compute"
+                       + (", remat" if REMAT else "")
+                       + (", seg-remat" if SEG_REMAT else "")
                        + (", phase CE" if phase_env else "") + ")"),
             "value": cell["samples_per_s"],
             "unit": "samples/sec/chip",
@@ -170,8 +180,11 @@ def main():
     # phase-CE cells (segment.phase_loss; see heads/segmentation_loss.py
     # ::cross_entropy_loss_phases): the final seg stage's full-res logits
     # + cotangent measured ~64 ms of the bs64 step (bench_backward_r3)
+    # no-remat bs>=96 (and f32 bs64) programs kill the remote compile
+    # helper (HTTP 500, r3 sweep), so the big phase cell pairs with full
+    # remat — the only compiling bs128 config
     cells += [(64, False, "bfloat16", False, True),
-              (128, False, "bfloat16", True, True)]
+              (128, True, "bfloat16", True, True)]
     for bs, remat, dtype, seg_remat, phase in cells:
         try:
             cell = run_cell(bs, remat, ITERS, dtype, seg_remat, phase)
