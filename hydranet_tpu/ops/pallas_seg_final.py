@@ -16,16 +16,25 @@ Exactness: identical products/adds as `_phase_logits_zsplit`
 tie-identical to the XLA path away from float-associativity ties.
 
 Row-block partition: y rows H+1 are tiled into `nb` blocks of RB rows,
-with RB chosen under an explicit VMEM budget (double-buffered in/out
-blocks + the f32 z scratch must stay well under Mosaic's 16 MB scoped
-limit — the tower kernel's lesson: a naive estimate that ignores
-double-buffering crashed on hardware). RB need not divide H+1: the
-output is padded to nb*RB rows (padded rows compute clamped-row values
-and are sliced off), which matters because H+1 = 321 = 3 * 107 in the
-production shape and rb=107 busts the budget while rb=3 drowns in grid
-overhead. Each block needs x rows [RB*i - 1, RB*i + RB - 1] (clamped),
-fetched through a `pl.Element` view so the halo needs no input padding
-or copy.
+with RB chosen under an explicit VMEM budget (in/out blocks + the f32 z
+scratch must stay well under Mosaic's 16 MB scoped limit — the tower
+kernel's lesson: a naive estimate that ignores double-buffering crashed
+on hardware). RB need not divide H+1: the output is padded to nb*RB rows
+(padded rows compute clamped-row values and are sliced off), which
+matters because H+1 = 321 = 3 * 107 in the production shape and rb=107
+busts the budget while rb=3 drowns in grid overhead. Each block needs x
+rows [RB*i - 1, RB*i + RB - 1] (clamped).
+
+Halo strategies (hardware lowering forbids mixing pl.Element with
+blocked dims in one BlockSpec — "All block dimensions must be Elements
+or none"):
+  halo="dma"     x stays unblocked in HBM (pl.ANY); the kernel issues an
+                 explicit async copy of the rb+1 halo rows into a VMEM
+                 scratch. Input DMA is not pipelined across grid steps
+                 (output blocks still are).
+  halo="element" every dim of the input BlockSpec is a pl.Element with
+                 an element-offset index map; Pallas pipelines the
+                 overlapping views like ordinary blocks.
 """
 
 from __future__ import annotations
@@ -45,8 +54,10 @@ _VMEM_BUDGET = 12 * 2**20  # conservative vs Mosaic's 16 MB scoped limit
 
 
 def _vmem_bytes(rb: int, w: int, c: int, n: int, itemsize: int) -> int:
-    """Per-core VMEM for one grid step: double-buffered x block and y block
-    (Pallas pipelines grid DMA), single f32 z scratch, and the weights."""
+    """Per-core VMEM for one grid step: input halo rows (double-buffered
+    Element views, or single DMA scratch — budget the larger), double-
+    buffered y block (Pallas pipelines grid DMA), single f32 z scratch,
+    and the weights."""
     in_b = 2 * (rb + 1) * w * c * itemsize
     out_b = 2 * rb * (w + 1) * n * itemsize
     scratch = (rb + 1) * (w + 1) * 2 * n * 4
@@ -57,7 +68,7 @@ def _vmem_bytes(rb: int, w: int, c: int, n: int, itemsize: int) -> int:
 def _row_block(h_out: int, w: int, c: int, n: int, itemsize: int,
                max_rb: int = 128) -> tuple:
     """(rb, nb, h_pad): the largest rb <= max_rb fitting the VMEM budget
-    with rb + 1 <= h_out - 1 (the rb+1-row Element view must fit inside the
+    with rb + 1 <= h_out - 1 (the rb+1-row halo view must fit inside the
     H = h_out-1 input rows), then shrunk to ceil(h_out / nb) so the padded
     output nb*rb overhangs h_out by at most nb-1 rows."""
     hi = max(1, min(max_rb, h_out - 2))
@@ -73,23 +84,21 @@ def supports(x_shape, cout: int) -> bool:
     return c == 64 and cout <= 16 and h >= 8 and w >= 8
 
 
-def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n,
-            unroll=False):
-    """One (image, row-block): z rows via MXU dots, y rows via VPU adds.
+def _zsplit_rows(read_row, k2_ref, bias_ref, out_ref, z_ref, *,
+                 i, start, rb, h, w, n, unroll):
+    """Shared body: z rows via MXU dots into scratch, y rows via VPU adds.
 
-    x_ref   [rb+1, W, 64]   input rows (Element view, start clamped)
-    k2_ref  [128, 2n]       z-split weights, f32
+    read_row(idx) -> [W, 64] input row at halo-local index idx
+    k2_ref  [128, 2n]       z-split weights
     bias_ref[1, n]          bias tiled over phases, f32
     out_ref [rb, W+1, n]    y rows of this block
     z_ref   [rb+1, W+1, 2n] f32 scratch (whole block's z rows)
     """
-    i = pl.program_id(1)
-    start = jnp.clip(rb * i - 1, 0, h - (rb + 1))  # Element view start row
 
     def zrow(t, _):
         # z global row g = rb*i + t reads x row clamp(g-1, 0, h-1)
         idx = jnp.clip(rb * i + t - 1, 0, h - 1) - start
-        row = x_ref[pl.ds(idx, 1)][0]                       # [W, 64]
+        row = read_row(idx)                                 # [W, 64]
         left = jnp.concatenate([row[0:1], row[:-1]], axis=0)
         left = jnp.concatenate([left, row[-1:]], axis=0)    # x[clamp(w-1)]
         right = jnp.concatenate([row, row[-1:]], axis=0)    # x[clamp(w)]
@@ -116,17 +125,46 @@ def _kernel(x_ref, k2_ref, bias_ref, out_ref, z_ref, *, rb, h, w, n,
     jax.lax.fori_loop(0, rb, yrow, 0, unroll=rb if unroll else 1)
 
 
+def _kernel_dma(x_hbm, k2_ref, bias_ref, out_ref, xs_ref, z_ref, sem, *,
+                rb, h, w, n, unroll):
+    """Manual-halo variant: x is an unblocked HBM ref; copy the block's
+    rb+1 halo rows into xs_ref, then run the shared body."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    start = jnp.clip(rb * i - 1, 0, h - (rb + 1))
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(start, rb + 1)], xs_ref, sem)
+    cp.start()
+    cp.wait()
+    _zsplit_rows(lambda idx: xs_ref[pl.ds(idx, 1)][0], k2_ref, bias_ref,
+                 out_ref, z_ref, i=i, start=start, rb=rb, h=h, w=w, n=n,
+                 unroll=unroll)
+
+
+def _kernel_element(x_ref, k2_ref, bias_ref, out_ref, z_ref, *,
+                    rb, h, w, n, unroll):
+    """All-Element-view variant: x_ref is a [1, rb+1, W, 64] element view
+    whose row origin the index map clamped to `start`."""
+    i = pl.program_id(1)
+    start = jnp.clip(rb * i - 1, 0, h - (rb + 1))
+    _zsplit_rows(lambda idx: x_ref[0, pl.ds(idx, 1)][0], k2_ref, bias_ref,
+                 out_ref, z_ref, i=i, start=start, rb=rb, h=h, w=w, n=n,
+                 unroll=unroll)
+
+
 def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                         bias: jnp.ndarray,
                         interpret: bool = False,
                         unroll: bool = False,
-                        max_rb: int = None) -> jnp.ndarray:
+                        max_rb: int = None,
+                        halo: str = None) -> jnp.ndarray:
     """Phase logits [B, H+1, W+1, 4*Cout] — VMEM-resident z-split.
 
     unroll: fully unroll the per-row loops (Mosaic scheduler can then
     overlap assembly/dots; compile time grows with rb). max_rb caps the
     row-block size (smaller blocks = more pipelined grid steps with
-    shorter loops); default 128, env HN_SEGFINAL_RB overrides.
+    shorter loops); default 128, env HN_SEGFINAL_RB overrides. halo:
+    "dma" (default; env HN_SEGFINAL_HALO) or "element" — see module doc.
     """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
@@ -134,6 +172,8 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     assert supports(x.shape, cout), (x.shape, cout)
     if max_rb is None:
         max_rb = int(os.environ.get("HN_SEGFINAL_RB", "128"))
+    if halo is None:
+        halo = os.environ.get("HN_SEGFINAL_HALO", "dma")
 
     # weights in x.dtype (same operand precision as the XLA phase conv;
     # the dot still accumulates f32 via preferred_element_type)
@@ -147,11 +187,7 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
                                max_rb=max_rb)
     grid = (b, nb)
 
-    in_specs = [
-        pl.BlockSpec((None, pl.Element(rb + 1), w, c),
-                     lambda bi, i: (bi, jnp.clip(rb * i - 1, 0, h - (rb + 1)),
-                                    0, 0),
-                     memory_space=pltpu.VMEM),
+    w_specs = [
         pl.BlockSpec((2 * c, 2 * n), lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n), lambda bi, i: (0, 0),
@@ -160,20 +196,38 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     out_spec = pl.BlockSpec((None, rb, w + 1, n),
                             lambda bi, i: (bi, i, 0, 0),
                             memory_space=pltpu.VMEM)
+    common = dict(rb=rb, h=h, w=w, n=n, unroll=unroll)
+    zscr = pltpu.VMEM((rb + 1, w + 1, 2 * n), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * b * (h + 2) * (w + 1) * 2 * c * 2 * n,
+        bytes_accessed=(x.size * x.dtype.itemsize
+                        + b * h_out * (w + 1) * n * x.dtype.itemsize),
+        transcendentals=0,
+    )
+
+    if halo == "element":
+        # element offsets: (batch element, clamped start row, 0, 0)
+        in_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(rb + 1), pl.Element(w),
+             pl.Element(c)),
+            lambda bi, i: (bi, jnp.clip(rb * i - 1, 0, h - (rb + 1)), 0, 0),
+            memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_element, **common)
+        scratch = [zscr]
+    else:
+        in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        kern = functools.partial(_kernel_dma, **common)
+        scratch = [pltpu.VMEM((rb + 1, w, c), x.dtype), zscr,
+                   pltpu.SemaphoreType.DMA]
 
     y = pl.pallas_call(
-        functools.partial(_kernel, rb=rb, h=h, w=w, n=n, unroll=unroll),
+        kern,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=[in_spec] + w_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h_pad, w + 1, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((rb + 1, w + 1, 2 * n), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * (h + 2) * (w + 1) * 2 * c * 2 * n,
-            bytes_accessed=(x.size * x.dtype.itemsize
-                            + b * h_out * (w + 1) * n * x.dtype.itemsize),
-            transcendentals=0,
-        ),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
         interpret=interpret,
     )(x, k2, bias_t)
     # padded rows (clamped-x garbage) are sliced off; consumers slice the
