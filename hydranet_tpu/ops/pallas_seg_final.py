@@ -28,13 +28,23 @@ rows [RB*i - 1, RB*i + RB - 1] (clamped).
 Halo strategies (hardware lowering forbids mixing pl.Element with
 blocked dims in one BlockSpec — "All block dimensions must be Elements
 or none"):
+  halo="element" (default) every dim of the input BlockSpec is a
+                 pl.Element with an element-offset index map; Pallas
+                 pipelines the overlapping views like ordinary blocks.
   halo="dma"     x stays unblocked in HBM (pl.ANY); the kernel issues an
                  explicit async copy of the rb+1 halo rows into a VMEM
-                 scratch. Input DMA is not pipelined across grid steps
-                 (output blocks still are).
-  halo="element" every dim of the input BlockSpec is a pl.Element with
-                 an element-offset index map; Pallas pipelines the
-                 overlapping views like ordinary blocks.
+                 scratch. DOES NOT COMPILE on this harness's toolchain:
+                 every dma cell dies in the remote tpu_compile_helper
+                 (subprocess exit 1, artifacts/bench_seg_final_v2_hw.log)
+                 while the same kernel body under element views lowers
+                 fine — kept for interpret-mode reference only.
+
+Parity note: the kernel accumulates z in f32 (preferred_element_type);
+the shipped XLA phase conv accumulates in bf16. On random bs2 inputs
+~0.1% of output pixels argmax-differently from the shipped path (bf16
+rounding flips near-ties) while agreeing >=99.9% with the f32-accum
+z-split oracle it is algebraically identical to — the kernel is the
+MORE accurate of the two.
 """
 
 from __future__ import annotations
@@ -164,7 +174,7 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     overlap assembly/dots; compile time grows with rb). max_rb caps the
     row-block size (smaller blocks = more pipelined grid steps with
     shorter loops); default 128, env HN_SEGFINAL_RB overrides. halo:
-    "dma" (default; env HN_SEGFINAL_HALO) or "element" — see module doc.
+    "element" (default; env HN_SEGFINAL_HALO) or "dma" — see module doc.
     """
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
@@ -173,7 +183,7 @@ def phase_logits_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
     if max_rb is None:
         max_rb = int(os.environ.get("HN_SEGFINAL_RB", "128"))
     if halo is None:
-        halo = os.environ.get("HN_SEGFINAL_HALO", "dma")
+        halo = os.environ.get("HN_SEGFINAL_HALO", "element")
 
     # weights in x.dtype (same operand precision as the XLA phase conv;
     # the dot still accumulates f32 via preferred_element_type)

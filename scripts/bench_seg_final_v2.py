@@ -98,15 +98,24 @@ def main():
     from hydranet_tpu.ops.fused_upsample_conv import _phase_argmax_interleave
     from hydranet_tpu.ops.pallas_seg_final import phase_logits_pallas
 
-    # kernel variant sweep: halo strategy (manual DMA vs all-Element
-    # views) x row loops (sequential vs full-unrolled — Mosaic can then
+    # kernel variant sweep: halo strategy (all-Element views vs manual
+    # DMA) x row loops (sequential vs full-unrolled — Mosaic can then
     # interleave the per-row VPU assembly with the MXU dots) x row-block
     # size (smaller rb = shorter unrolled loops + more pipelined grid
     # steps). Per-cell isolation: one Mosaic rejection must not kill the
     # rest of the sweep (chain v7's lesson).
-    wantp = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
+    #
+    # Parity oracle is the f32-accum z-split (identical products/adds to
+    # the kernel), NOT the shipped path: the shipped conv accumulates in
+    # bf16, so ~0.1% of random-input pixels argmax-differently from ANY
+    # f32-accum formulation (v8's 0.99885-vs-shipped "failure" was the
+    # oracle's rounding, not the kernel's). Agreement vs shipped is
+    # reported for the record.
+    wantp = np.asarray(zsplit_argmax(x[:2], k, bias,
+                                     acc_dtype=jnp.float32))
+    wants = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
     first = True
-    for halo in ("dma", "element"):
+    for halo in ("element", "dma"):
         for unroll, rb in ((False, None), (True, None), (True, 32),
                            (True, 16)):
             tag = f"halo={halo} unroll={int(unroll)} rb={rb or 'max'}"
@@ -119,9 +128,11 @@ def main():
             try:
                 gotp = np.asarray(pallas_argmax(x[:2]))
                 agree = (wantp == gotp).mean()
-                assert agree > 0.999, f"{tag} agreement {agree}"
+                assert agree > 0.9999, f"{tag} vs f32 oracle {agree}"
                 if first:
-                    print(f"pallas vs shipped argmax agreement: {agree:.6f}")
+                    print(f"pallas vs f32-zsplit oracle agreement: "
+                          f"{agree:.6f}; vs shipped (bf16-accum) path: "
+                          f"{(wants == gotp).mean():.6f}")
                     first = False
                 timed(f"d) pallas+argmax {tag}", pallas_argmax, x)
             except Exception as e:  # keep later cells alive

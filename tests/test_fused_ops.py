@@ -109,5 +109,9 @@ def test_pallas_seg_final_matches_zsplit():
         k = jnp.asarray(rng.randn(3, 3, 64, 5).astype(np.float32) * 0.1)
         b = jnp.asarray(rng.randn(5).astype(np.float32) * 0.1)
         want = np.asarray(_phase_logits_zsplit(x, k, b))
-        got = np.asarray(phase_logits_pallas(x, k, b, interpret=True))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        for halo in ("element", "dma"):
+            for unroll in (False, True):
+                got = np.asarray(phase_logits_pallas(
+                    x, k, b, interpret=True, halo=halo, unroll=unroll))
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                           err_msg=f"{halo} unroll={unroll}")
