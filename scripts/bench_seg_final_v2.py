@@ -49,9 +49,15 @@ ITERS = 20
 timed = functools.partial(_timed, iters=ITERS, width=52)
 
 
-def zsplit_argmax(x, k, bias, acc_dtype=None):
-    """1x2-conv reassociation of the phase conv + fused argmax/interleave."""
-    b, h, w, _ = x.shape
+def zsplit_phase_logits(x, k, bias, acc_dtype=None):
+    """Phase logits [B, H+1, W+1, 4*cout] via the z-split reassociation.
+
+    With acc_dtype=f32 this mirrors the Pallas kernel's arithmetic
+    EXACTLY (ADVICE r3 fix: the old oracle cast the row-add to bf16 and
+    added bias in bf16; the kernel keeps f32 through row-add + bias and
+    casts once at the end): f32 conv accumulation, f32 row add, f32 bias
+    add, one cast to x.dtype.
+    """
     cout = k.shape[-1]
     pk = _phase_kernels(k)                       # [2, 2, CIN, 4*cout]
     # K2: [1, 2, CIN, 2*4*cout]; lane order (u, phase, class)
@@ -62,8 +68,12 @@ def zsplit_argmax(x, k, bias, acc_dtype=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_dtype or x.dtype)  # [B, 322, 321, 8*cout]
     n = 4 * cout
-    y = (z[:, :-1, :, :n] + z[:, 1:, :, n:]).astype(x.dtype)
+    y = z[:, :-1, :, :n] + z[:, 1:, :, n:]            # stays in acc dtype
     y = y + jnp.tile(bias, 4).astype(y.dtype)         # [B, 321, 321, 20]
+    return y.astype(x.dtype)                          # single final cast
+
+
+def _interleave_argmax(y, b, h, w, cout):
     phases = (y[:, :-1, :-1, 0 * cout:1 * cout],
               y[:, :-1, 1:, 1 * cout:2 * cout],
               y[:, 1:, :-1, 2 * cout:3 * cout],
@@ -73,6 +83,49 @@ def zsplit_argmax(x, k, bias, acc_dtype=None):
     a = a.reshape(b, h, w, 2, 2)
     a = a.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, 2 * w)
     return a.astype(jnp.int32)
+
+
+def zsplit_argmax(x, k, bias, acc_dtype=None):
+    """1x2-conv reassociation of the phase conv + fused argmax/interleave."""
+    b, h, w, _ = x.shape
+    y = zsplit_phase_logits(x, k, bias, acc_dtype=acc_dtype)
+    return _interleave_argmax(y, b, h, w, k.shape[-1])
+
+
+def tie_aware_disagreement(oracle_logits, got_ids, want_ids, cout):
+    """Count argmax disagreements that are NOT bf16 near-ties.
+
+    Both paths cast final logits to bf16 before argmax, so accumulation-
+    order noise can only flip the argmax where the top-2 bf16 logits sit
+    within ~1 ulp of each other. For every full-res pixel where
+    got != want, look up the oracle's bf16 phase logits at BOTH class
+    picks and require |l[want] - l[got]| <= one bf16 ulp at that scale.
+    Returns (n_disagree, n_real) where n_real are non-tie disagreements.
+    """
+    b, hp1, wp1, _ = oracle_logits.shape
+    h, w = hp1 - 1, wp1 - 1
+    lg = np.asarray(oracle_logits, np.float32)
+    phases = np.stack([lg[:, :-1, :-1, 0 * cout:1 * cout],
+                       lg[:, :-1, 1:, 1 * cout:2 * cout],
+                       lg[:, 1:, :-1, 2 * cout:3 * cout],
+                       lg[:, 1:, 1:, 3 * cout:4 * cout]], axis=3)
+    # -> full-res [B, 2H, 2W, cout] logit field matching the id layout
+    full = phases.reshape(b, h, w, 2, 2, cout).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, cout)
+    dis = got_ids != want_ids
+    n_dis = int(dis.sum())
+    if n_dis == 0:
+        return 0, 0
+    sel = full[dis]                                  # [n_dis, cout]
+    rows = np.arange(n_dis)
+    lw = sel[rows, want_ids[dis]]
+    lgot = sel[rows, got_ids[dis]]
+    # one bf16 ulp at the magnitude of the larger logit (bf16 has 8
+    # mantissa bits -> ulp ~= 2^-8 * 2^ceil(log2 |v|))
+    scale = np.maximum(np.maximum(np.abs(lw), np.abs(lgot)), 2.0 ** -126)
+    ulp = 2.0 ** (np.floor(np.log2(scale)) - 7)
+    n_real = int((np.abs(lw - lgot) > ulp).sum())
+    return n_dis, n_real
 
 
 def main():
@@ -105,15 +158,18 @@ def main():
     # steps). Per-cell isolation: one Mosaic rejection must not kill the
     # rest of the sweep (chain v7's lesson).
     #
-    # Parity oracle is the f32-accum z-split (identical products/adds to
-    # the kernel), NOT the shipped path: the shipped conv accumulates in
-    # bf16, so ~0.1% of random-input pixels argmax-differently from ANY
-    # f32-accum formulation (v8's 0.99885-vs-shipped "failure" was the
-    # oracle's rounding, not the kernel's). Agreement vs shipped is
-    # reported for the record.
-    wantp = np.asarray(zsplit_argmax(x[:2], k, bias,
-                                     acc_dtype=jnp.float32))
-    wants = np.asarray(upsample2x_conv3x3_argmax(x[:2], k, bias))
+    # Parity gate (ADVICE r3 fix, tie-aware): the oracle is the f32-accum
+    # z-split that now mirrors the kernel's arithmetic EXACTLY (f32 conv
+    # accum -> f32 row add -> f32 bias add -> one bf16 cast). Residual
+    # argmax flips can still come from f32 accumulation ORDER (XLA conv
+    # vs Mosaic dot) rounding the final bf16 cast differently at a
+    # near-tie, so the gate counts only disagreements whose top-2 bf16
+    # logit gap exceeds one bf16 ulp — real errors, not ties. Agreement
+    # vs the shipped bf16-accum path is reported for the record.
+    oracle_logits = np.asarray(
+        zsplit_phase_logits(x[:2], k, bias, acc_dtype=jnp.float32))
+    wantp = np.asarray(_interleave_argmax(
+        jnp.asarray(oracle_logits), 2, H, W, NCLS))
     first = True
     for halo in ("element", "dma"):
         for unroll, rb in ((False, None), (True, None), (True, 32),
@@ -127,12 +183,17 @@ def main():
 
             try:
                 gotp = np.asarray(pallas_argmax(x[:2]))
-                agree = (wantp == gotp).mean()
-                assert agree > 0.9999, f"{tag} vs f32 oracle {agree}"
+                n_dis, n_real = tie_aware_disagreement(
+                    oracle_logits, gotp, wantp, NCLS)
+                agree = 1.0 - n_dis / wantp.size
+                assert n_real == 0, (
+                    f"{tag}: {n_real} NON-TIE argmax disagreements "
+                    f"(of {n_dis} total) vs matched f32 oracle")
                 if first:
-                    print(f"pallas vs f32-zsplit oracle agreement: "
-                          f"{agree:.6f}; vs shipped (bf16-accum) path: "
-                          f"{(wants == gotp).mean():.6f}")
+                    print(f"pallas vs matched f32 oracle: agreement "
+                          f"{agree:.6f} ({n_dis} tie flips, 0 real); "
+                          f"vs shipped (bf16-accum) path: "
+                          f"{(want == gotp).mean():.6f}")
                     first = False
                 timed(f"d) pallas+argmax {tag}", pallas_argmax, x)
             except Exception as e:  # keep later cells alive
