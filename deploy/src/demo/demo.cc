@@ -1,7 +1,10 @@
 // Native demo driver (TPU-native equivalent of the reference's
 // deploy/src/demo/Demo.cpp:9-141): mode 1 = repeat a single image with
 // 10 warmup + 20 timed iterations and print the average latency; mode 2 =
-// video file; mode 3 = camera.
+// video file; mode 3 = camera; mode 4 = batched throughput (repeat the
+// image across the artifact's batch, 10 warmup + 20 timed batched
+// executions, per-frame latency + fps + h2d/execute/d2h decomposition —
+// BASELINE config 4 through the C ABI).
 
 #include <chrono>
 #include <cstdio>
@@ -26,6 +29,10 @@ void PrintStages(const HN_Output& out) {
          "%d dets, %d lanes\n",
          out.preprocess_ms, out.run_ms, out.postprocess_ms,
          out.num_detections, out.num_lanes);
+  if (out.h2d_ms > 0 || out.exec_ms > 0) {
+    printf("    run = h2d %.2f + execute %.2f + d2h %.2f ms\n", out.h2d_ms,
+           out.exec_ms, out.d2h_ms);
+  }
 }
 
 }  // namespace
@@ -33,8 +40,8 @@ void PrintStages(const HN_Output& out) {
 int main(int argc, char** argv) {
   if (argc < 4) {
     fprintf(stderr,
-            "usage: %s <artifact_dir> <mode: 1=image 2=video 3=camera> "
-            "<path-or-cam-index> [out_path]\n",
+            "usage: %s <artifact_dir> <mode: 1=image 2=video 3=camera "
+            "4=batched-throughput> <path-or-cam-index> [out_path]\n",
             argv[0]);
     return 1;
   }
@@ -99,6 +106,45 @@ int main(int argc, char** argv) {
       cv::imwrite(out_path, vis);
       printf("wrote %s\n", out_path.c_str());
     }
+  } else if (mode == 4) {
+    cv::Mat img = cv::imread(source);
+    if (img.empty()) {
+      fprintf(stderr, "cannot read %s\n", source.c_str());
+      return 3;
+    }
+    const int n = Hydranet_BatchSize(handle);
+    printf("batched mode: artifact batch %d, frame %dx%d\n", n, img.cols,
+           img.rows);
+    const size_t frame_bytes = (size_t)img.rows * img.cols * 3;
+    std::vector<unsigned char> frames(frame_bytes * n);
+    for (int b = 0; b < n; ++b) {
+      std::memcpy(frames.data() + b * frame_bytes, img.data, frame_bytes);
+    }
+    std::vector<HN_Output> outs(n);
+    const int kWarmup = 10, kIters = 20;  // reference Demo.cpp:27-28
+    for (int i = 0; i < kWarmup; ++i) {
+      if (Hydranet_Detect_Batched(handle, frames.data(), n, img.rows,
+                                  img.cols, outs.data()) != 0) {
+        return 4;
+      }
+    }
+    double total = 0, pre = 0, run = 0, post = 0;
+    for (int i = 0; i < kIters; ++i) {
+      double t0 = NowMs();
+      Hydranet_Detect_Batched(handle, frames.data(), n, img.rows, img.cols,
+                              outs.data());
+      total += NowMs() - t0;
+      pre += outs[0].preprocess_ms;
+      run += outs[0].run_ms;
+      post += outs[0].postprocess_ms;
+      PrintStages(outs[0]);
+    }
+    printf("batched avg over %d iters x %d frames: %.2f ms/batch = "
+           "%.2f ms/frame (%.1f frames/sec)\n",
+           kIters, n, total / kIters, total / kIters / n,
+           1000.0 * n / (total / kIters));
+    printf("stage avg: preprocess %.2f | run %.2f | postprocess %.2f "
+           "ms/batch\n", pre / kIters, run / kIters, post / kIters);
   } else {
     cv::VideoCapture cap;
     if (mode == 3) {

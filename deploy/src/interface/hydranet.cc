@@ -10,6 +10,7 @@ namespace {
 struct Handle {
   std::unique_ptr<hydranet::HydranetModel> model;
   cv::Mat last_seg;  // keeps seg_mask memory alive across the C boundary
+  std::vector<cv::Mat> last_segs;  // ditto for the batched path
 };
 
 void FillOutput(Handle* h, const hydranet::OutputInfo& info,
@@ -46,6 +47,9 @@ void FillOutput(Handle* h, const hydranet::OutputInfo& info,
   output->preprocess_ms = info.preprocess_ms;
   output->run_ms = info.run_ms;
   output->postprocess_ms = info.postprocess_ms;
+  output->h2d_ms = info.h2d_ms;
+  output->exec_ms = info.exec_ms;
+  output->d2h_ms = info.d2h_ms;
 }
 
 }  // namespace
@@ -132,6 +136,43 @@ int Hydranet_Flush(void* handle, HN_Output* output,
                 (size_t)visual.rows * visual.cols * 3);
   }
   return 1;
+}
+
+int Hydranet_BatchSize(void* handle) {
+  if (handle == nullptr) return -1;
+  return static_cast<Handle*>(handle)->model->batch_size();
+}
+
+int Hydranet_Detect_Batched(void* handle, const unsigned char* bgr_frames,
+                            int n, int height, int width,
+                            HN_Output* outputs) {
+  if (handle == nullptr || bgr_frames == nullptr || outputs == nullptr) {
+    return -1;
+  }
+  auto* h = static_cast<Handle*>(handle);
+  std::vector<cv::Mat> frames;
+  frames.reserve(n);
+  const size_t frame_bytes = (size_t)height * width * 3;
+  for (int b = 0; b < n; ++b) {
+    frames.emplace_back(height, width, CV_8UC3,
+                        const_cast<unsigned char*>(bgr_frames) +
+                            b * frame_bytes);
+  }
+  std::vector<hydranet::OutputInfo> infos;
+  std::string error;
+  if (!h->model->DetectBatch(frames, &infos, &error)) {
+    fprintf(stderr, "[hydranet] batched detect failed: %s\n", error.c_str());
+    return -2;
+  }
+  h->last_segs.resize(n);
+  for (int b = 0; b < n; ++b) {
+    FillOutput(h, infos[b], &outputs[b]);
+    // FillOutput parks the seg mat in h->last_seg (single-frame slot);
+    // move it to the per-frame slot so every frame's pointer stays valid
+    h->last_segs[b] = infos[b].seg_mask;
+    outputs[b].seg_mask = h->last_segs[b].data;
+  }
+  return 0;
 }
 
 int Hydranet_Uinit(void* handle) {

@@ -47,6 +47,9 @@ typedef struct {
   int seg_height;
   int seg_width;
   double preprocess_ms, run_ms, postprocess_ms;
+  // run_ms decomposition (batched path, frame 0 only): host->device input
+  // transfer / device execute / device->host output fetch
+  double h2d_ms, exec_ms, d2h_ms;
 } HN_Output;
 
 // Returns 0 on success. artifact_dir: directory produced by
@@ -73,6 +76,21 @@ HYDRANET_API int Hydranet_Detect_Pipelined(void* handle,
                                            unsigned char* visual_bgr);
 HYDRANET_API int Hydranet_Flush(void* handle, HN_Output* output,
                                 unsigned char* visual_bgr);
+
+// Batch size the loaded artifact was exported with (1 for the demo
+// artifact; N for a throughput/BASELINE-config-4 artifact).
+HYDRANET_API int Hydranet_BatchSize(void* handle);
+
+// Batched inference: `n` stacked BGR frames (all height x width, contiguous
+// n*height*width*3 bytes) through ONE device execution; `outputs` must hold
+// n HN_Output structs. n must equal Hydranet_BatchSize(). outputs[0]
+// carries the shared stage timings; its run_ms decomposition
+// (h2d / device execute / d2h) is printed by the demo driver. The seg_mask
+// pointers stay valid until the next *Detect* call on the handle.
+HYDRANET_API int Hydranet_Detect_Batched(void* handle,
+                                         const unsigned char* bgr_frames,
+                                         int n, int height, int width,
+                                         HN_Output* outputs);
 
 HYDRANET_API int Hydranet_Uinit(void* handle);
 

@@ -153,6 +153,58 @@ bool HydranetModel::Detect(const cv::Mat& input, OutputInfo* out,
   return true;
 }
 
+bool HydranetModel::DetectBatch(const std::vector<cv::Mat>& inputs,
+                                std::vector<OutputInfo>* outs,
+                                std::string* error) {
+  if ((int)inputs.size() != in_b_) {
+    if (error) {
+      *error = "DetectBatch needs exactly " + std::to_string(in_b_) +
+               " frames (artifact batch size); got " +
+               std::to_string(inputs.size());
+    }
+    return false;
+  }
+  double t0 = NowMs();
+  const size_t frame_px = (size_t)in_h_ * in_w_ * 3;
+  for (int b = 0; b < in_b_; ++b) {
+    cv::Mat frame = inputs[b];
+    if (frame.rows != in_h_ || frame.cols != in_w_) {
+      cv::resize(inputs[b], frame, cv::Size(in_w_, in_h_));
+    }
+    cv::Mat rgb(in_h_, in_w_, CV_8UC3, input_staging_.data() + b * frame_px);
+    cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+  }
+  double t1 = NowMs();
+
+  std::vector<HostBuffer> bufs;
+  std::vector<int64_t> dims = {in_b_, in_h_, in_w_, 3};
+  PjrtRuntime::ExecTiming timing;
+  if (!runtime_->ExecuteTimed(input_staging_.data(), dims,
+                              PJRT_Buffer_Type_U8, &bufs, &timing, error)) {
+    return false;
+  }
+  double t2 = NowMs();
+  last_h2d_ms_ = timing.h2d_ms;
+  last_exec_ms_ = timing.exec_ms;
+  last_d2h_ms_ = timing.d2h_ms;
+
+  outs->clear();
+  outs->resize(in_b_);
+  for (int b = 0; b < in_b_; ++b) {
+    OutputInfo& out = (*outs)[b];
+    Postprocess(bufs, inputs[b].size(), &out, b);
+    LaneSegConsistencyFilter(&out, inputs[b].size());
+  }
+  double t3 = NowMs();
+  (*outs)[0].preprocess_ms = t1 - t0;
+  (*outs)[0].run_ms = t2 - t1;
+  (*outs)[0].postprocess_ms = t3 - t2;
+  (*outs)[0].h2d_ms = timing.h2d_ms;
+  (*outs)[0].exec_ms = timing.exec_ms;
+  (*outs)[0].d2h_ms = timing.d2h_ms;
+  return true;
+}
+
 bool HydranetModel::SubmitFrame(const cv::Mat& input, OutputInfo* out,
                                 cv::Mat* visual, bool* got_result,
                                 std::string* error) {
@@ -229,16 +281,18 @@ bool HydranetModel::Flush(OutputInfo* out, cv::Mat* visual,
 }
 
 void HydranetModel::Postprocess(const std::vector<HostBuffer>& bufs,
-                                const cv::Size& org, OutputInfo* out) {
+                                const cv::Size& org, OutputInfo* out,
+                                int batch_index) {
   const float sx = (float)org.width / net_w_;
   const float sy = (float)org.height / net_h_;
+  const size_t b = (size_t)batch_index;
 
   // --- segmentation: int32 class map [B, H, W] -> CV_8U
   if (idx_seg_ >= 0) {
     const HostBuffer& seg = bufs[idx_seg_];
     int h = (int)seg.dims[1], w = (int)seg.dims[2];
     out->seg_mask = cv::Mat(h, w, CV_8U);
-    const int32_t* p = seg.as<int32_t>();
+    const int32_t* p = seg.as<int32_t>() + b * h * w;
     for (int r = 0; r < h; ++r)
       for (int c = 0; c < w; ++c)
         out->seg_mask.at<uint8_t>(r, c) = (uint8_t)p[(size_t)r * w + c];
@@ -246,11 +300,11 @@ void HydranetModel::Postprocess(const std::vector<HostBuffer>& bufs,
 
   // --- detections (already decoded + NMS'd on device)
   if (idx_det_boxes_ >= 0) {
-    const float* boxes = bufs[idx_det_boxes_].as<float>();
-    const float* scores = bufs[idx_det_scores_].as<float>();
-    const int32_t* classes = bufs[idx_det_classes_].as<int32_t>();
-    const uint8_t* valid = bufs[idx_det_valid_].as<uint8_t>();
     int n = (int)bufs[idx_det_boxes_].dims[1];
+    const float* boxes = bufs[idx_det_boxes_].as<float>() + b * n * 4;
+    const float* scores = bufs[idx_det_scores_].as<float>() + b * n;
+    const int32_t* classes = bufs[idx_det_classes_].as<int32_t>() + b * n;
+    const uint8_t* valid = bufs[idx_det_valid_].as<uint8_t>() + b * n;
     for (int k = 0; k < n; ++k) {
       if (!valid[k]) continue;
       DetectionResult d;
@@ -266,14 +320,14 @@ void HydranetModel::Postprocess(const std::vector<HostBuffer>& bufs,
 
   // --- lanes (decoded + NMS'd on device): xs grid -> point lists
   if (idx_lane_prob_ >= 0) {
-    const float* prob = bufs[idx_lane_prob_].as<float>();
-    const float* xs = bufs[idx_lane_xs_].as<float>();
-    const uint8_t* mask = bufs[idx_lane_mask_].as<uint8_t>();
-    const int32_t* start = bufs[idx_lane_start_].as<int32_t>();
-    const int32_t* end = bufs[idx_lane_end_].as<int32_t>();
-    const uint8_t* valid = bufs[idx_lane_valid_].as<uint8_t>();
     int L = (int)bufs[idx_lane_xs_].dims[1];
     int ppl = (int)bufs[idx_lane_xs_].dims[2];
+    const float* prob = bufs[idx_lane_prob_].as<float>() + b * L;
+    const float* xs = bufs[idx_lane_xs_].as<float>() + b * L * ppl;
+    const uint8_t* mask = bufs[idx_lane_mask_].as<uint8_t>() + b * L * ppl;
+    const int32_t* start = bufs[idx_lane_start_].as<int32_t>() + b * L;
+    const int32_t* end = bufs[idx_lane_end_].as<int32_t>() + b * L;
+    const uint8_t* valid = bufs[idx_lane_valid_].as<uint8_t>() + b * L;
     for (int l = 0; l < L; ++l) {
       if (!valid[l] || prob[l] < 0.01f) continue;
       LaneResult lane;

@@ -44,6 +44,9 @@ struct OutputInfo {
   cv::Mat seg_mask;  // CV_8U class ids at network resolution
   // per-stage latencies (ms), mirroring the reference's chrono prints
   double preprocess_ms = 0, run_ms = 0, postprocess_ms = 0;
+  // run_ms decomposition (filled by DetectBatch on frame 0): host->device
+  // input transfer, device execute, device->host output fetch
+  double h2d_ms = 0, exec_ms = 0, d2h_ms = 0;
 };
 
 class HydranetModel {
@@ -57,6 +60,19 @@ class HydranetModel {
   // visual: if non-null, overlay detections/lanes/seg onto a copy of input.
   bool Detect(const cv::Mat& input, OutputInfo* out, cv::Mat* visual,
               std::string* error);
+
+  // Batched inference (BASELINE config 4): exactly batch_size() BGR frames
+  // through ONE device execution; outs gets one OutputInfo per frame
+  // (frame 0 additionally carries the shared stage timings, with run_ms
+  // decomposed into h2d/execute/d2h below). The artifact must have been
+  // exported with batch_size > 1.
+  bool DetectBatch(const std::vector<cv::Mat>& inputs,
+                   std::vector<OutputInfo>* outs, std::string* error);
+  // stage decomposition of the last DetectBatch/Detect run (ms)
+  double last_h2d_ms() const { return last_h2d_ms_; }
+  double last_exec_ms() const { return last_exec_ms_; }
+  double last_d2h_ms() const { return last_d2h_ms_; }
+  int batch_size() const { return in_b_; }
 
   // Pipelined serving with double-buffered H2D: stages frame k+1 (resize +
   // BGR2RGB + async host->device copy) while the device executes frame k.
@@ -73,7 +89,7 @@ class HydranetModel {
  private:
   HydranetModel() = default;
   void Postprocess(const std::vector<HostBuffer>& bufs, const cv::Size& org,
-                   OutputInfo* out);
+                   OutputInfo* out, int batch_index = 0);
   void LaneSegConsistencyFilter(OutputInfo* out, const cv::Size& org) const;
   void Draw(const OutputInfo& out, cv::Mat* visual) const;
 
@@ -100,6 +116,7 @@ class HydranetModel {
   cv::Mat prev_frame_;
   cv::Size prev_size_;
   double prev_pre_ms_ = 0;
+  double last_h2d_ms_ = 0, last_exec_ms_ = 0, last_d2h_ms_ = 0;
 };
 
 }  // namespace hydranet

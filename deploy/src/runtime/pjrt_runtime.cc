@@ -2,6 +2,7 @@
 
 #include <dlfcn.h>
 
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -468,6 +469,52 @@ bool PjrtRuntime::Execute(const void* input,
   if (!StageInput(slot, input, dims, input_type, error)) return false;
   if (!ExecuteStaged(slot, error)) return false;
   return WaitResults(outputs, error);
+}
+
+bool PjrtRuntime::ExecuteTimed(const void* input,
+                               const std::vector<int64_t>& dims,
+                               int input_type,
+                               std::vector<HostBuffer>* outputs,
+                               ExecTiming* timing, std::string* error) {
+  auto now_ms = [] {
+    return std::chrono::duration<double, std::milli>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  int slot = next_slot_;
+  next_slot_ = (next_slot_ + 1) % 2;
+
+  double t0 = now_ms();
+  if (!StageInput(slot, input, dims, input_type, error)) return false;
+  // await the device buffer's ready event — the actual H2D completion
+  // (host_done only says the HOST memory is reusable)
+  {
+    PJRT_Buffer_ReadyEvent_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Buffer_ReadyEvent_Args_STRUCT_SIZE;
+    args.buffer = slots_[slot].buffer;
+    RETURN_IF_PJRT_ERROR(api_->PJRT_Buffer_ReadyEvent(&args), "ready event");
+    if (!AwaitEvent(api_, args.event, error)) return false;
+  }
+  double t1 = now_ms();
+
+  if (!ExecuteStaged(slot, error)) return false;
+  if (pending_.device_done != nullptr) {
+    PJRT_Event* ev = pending_.device_done;
+    pending_.device_done = nullptr;  // WaitResults won't re-await
+    if (!AwaitEvent(api_, ev, error)) return false;
+  }
+  double t2 = now_ms();
+
+  if (!WaitResults(outputs, error)) return false;  // D2H fetch only now
+  double t3 = now_ms();
+
+  if (timing != nullptr) {
+    timing->h2d_ms = t1 - t0;
+    timing->exec_ms = t2 - t1;
+    timing->d2h_ms = t3 - t2;
+  }
+  return true;
 }
 
 bool PjrtRuntime::WaitResults(std::vector<HostBuffer>* outputs,

@@ -77,6 +77,20 @@ class PjrtRuntime {
                int input_type /* PJRT_Buffer_Type */,
                std::vector<HostBuffer>* outputs, std::string* error);
 
+  // Stage-decomposed latency of one execution: host->device transfer
+  // (awaits the input buffer's ready event), device execute (awaits the
+  // device-complete event), device->host output fetch. Serializes the
+  // stages it times — use Execute/the staged path for production serving
+  // and this for attribution (the reference prints per-stage chrono
+  // timers, hydranet_model.cpp:356-364; this adds the transfer/compute
+  // split the wall clock alone cannot see).
+  struct ExecTiming {
+    double h2d_ms = 0, exec_ms = 0, d2h_ms = 0;
+  };
+  bool ExecuteTimed(const void* input, const std::vector<int64_t>& dims,
+                    int input_type, std::vector<HostBuffer>* outputs,
+                    ExecTiming* timing, std::string* error);
+
   // --- pipelined path (double-buffered H2D) -------------------------------
   // StageInput starts an async host->device transfer into one of two input
   // slots and returns the slot id (or -1 on error). The caller's host memory

@@ -81,6 +81,8 @@ class _Tower(nn.Module):
                                     dtype=self.dtype,
                                     bias_init=self.header_bias_init,
                                     name="header")
+        from hydranet_tpu.parallel.spatial import shard_spatial
+
         outs = []
         for lvl, feat in enumerate(feats):
             for i in range(self.num_layers):
@@ -88,8 +90,8 @@ class _Tower(nn.Module):
                 feat = TorchBatchNorm(momentum=0.01, epsilon=1e-3,
                                       dtype=self.dtype,
                                       name=f"bn_{lvl}_{i}")(feat, train=train)
-                feat = swish(feat)
-            feat = header(feat, train=train)
+                feat = shard_spatial(swish(feat))
+            feat = shard_spatial(header(feat, train=train))
             b = feat.shape[0]
             # NHWC is already the reference's permute(0,2,3,1) layout
             # (detection.py:37-38) — flatten directly.

@@ -66,6 +66,8 @@ class LaneHead(nn.Module):
             ], axis=-1)
         else:
             raise ValueError(f"unsupported lane stride {self.stride}")
+        from hydranet_tpu.parallel.spatial import shard_spatial
+        fused = shard_spatial(fused)
 
         pts = self.points_per_line + 1
         cls = self._tower(fused, self.num_classes, "cls", train)

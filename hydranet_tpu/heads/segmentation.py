@@ -248,6 +248,8 @@ class SegmentHead(nn.Module):
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
                  emit_argmax: bool = False, emit_phase: bool = False):
+        from hydranet_tpu.parallel.spatial import shard_spatial
+
         n = len(self.num_ch_enc)
         x = input_features[-1]
         for i in range(n):
@@ -260,6 +262,10 @@ class SegmentHead(nn.Module):
                     if self.use_skips and i < n - 1 else None)
             x = UpConvBlock(ch, dtype=self.dtype,
                             name=f"decoder_{2 * i + 1}")(x, skip)
+            # spatial-mode boundary hint (identity otherwise): each up-stage
+            # doubles H, so the sharding flips from replicated (tiny deep
+            # stages) to H-sharded exactly once, where the rows amortize
+            x = shard_spatial(x)
         # final: conv3x3(reflect_pad(up2(x))), no activation; inference
         # decode (emit_argmax) folds the class argmax into this stage;
         # training (emit_phase) emits the phase logits for the phase CE

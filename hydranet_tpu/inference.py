@@ -118,9 +118,12 @@ class InferencePipeline:
         ppl = cfg.lane_points_per_line
         cfg_d, cfg_l = cfg.detection, cfg.lane
 
-        def run(variables, frames):
+        def run_body(variables, frames):
+            from hydranet_tpu.parallel.spatial import shard_spatial
+
             x = preprocess_images(frames, self.net_hw, dtype=compute_dtype,
                                   allow_pallas=mesh is None)
+            x = shard_spatial(x)
             # seg_argmax: the final seg stage emits class ids directly (the
             # full-res logits never exist) — segmentation decode fused into
             # the forward, as the reference's deploy graph inlines argmax
@@ -166,6 +169,20 @@ class InferencePipeline:
                 results["lanes"] = jax.vmap(one)(out["lane"]["predict_cls"],
                                                  out["lane"]["predict_loc"])
             return results
+
+        def run(variables, frames):
+            import contextlib
+
+            from hydranet_tpu.parallel.spatial import spatial_sharding
+
+            # trace-time: in spatial mode every stage boundary in the model
+            # pins its sharding (H-shard big tensors, replicate tiny deep
+            # levels) so GSPMD never falls back to replicate-and-repartition
+            # ("Involuntary full rematerialization") — parallel/spatial.py
+            ctx = (spatial_sharding(mesh) if spatial and mesh is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                return run_body(variables, frames)
 
         if mesh is not None:
             # multi-chip batched inference: frames sharded over the data

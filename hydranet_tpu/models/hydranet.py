@@ -24,7 +24,7 @@ from hydranet_tpu.heads.lane import LaneHead
 from hydranet_tpu.heads.lane_loss import lane_cls_loss, lane_reg_loss
 from hydranet_tpu.heads.segmentation import SegmentHead
 from hydranet_tpu.heads.segmentation_loss import (
-    cross_entropy_loss, cross_entropy_loss_phases, lovasz_softmax)
+    cross_entropy_loss, cross_entropy_loss_phase_packed, lovasz_softmax)
 from hydranet_tpu.models.bifpn import StackBiFPN
 from hydranet_tpu.models.regnet import RegNetY
 
@@ -54,13 +54,18 @@ class HydraNet(nn.Module):
             bb.bottleneck_ratio, bb.group_width, bb.stride, bb.se_ratio,
             dtype=self.dtype, remat=bb.remat)
         feats = backbone.copy(name="backbone")(x, train=train)
+        # stage-boundary sharding hints (no-ops outside spatial_sharding):
+        # H-shard the big levels, replicate the tiny deep ones — see
+        # parallel/spatial.py
+        from hydranet_tpu.parallel.spatial import shard_spatial
+        feats = [shard_spatial(f) for f in feats]
 
         neck = StackBiFPN(
             fpn_num_filters=bb.fpn_num_filters,
             fpn_cell_repeats=bb.fpn_cell_repeats,
             conv_channel_coef=bb.conv_channel_coef,
             dtype=self.dtype, name="neck")
-        fused = neck(feats, train=train)
+        fused = [shard_spatial(f) for f in neck(feats, train=train)]
 
         out: Dict[str, Any] = {}
         if cfg.train.train_seg:
@@ -128,17 +133,13 @@ class HydraNet(nn.Module):
         if cfg.train.train_seg:
             gt = batch["gt_seg"].astype(jnp.int32)
             if "seg_phase" in outputs:
-                # phase CE: exact per-phase slices of the phase logits +
-                # the matching strided views of gt (pixel partitions —
-                # identical loss, no full-res logits tensor)
-                from hydranet_tpu.ops.fused_upsample_conv import phase_slices
-
-                z = outputs["seg_phase"]
-                cout = cfg.segment.num_classes
-                pairs = [(lg, gt[:, di::2, dj::2])
-                         for (di, dj), lg in phase_slices(z, cout)]
-                losses["loss_seg"] = cross_entropy_loss_phases(
-                    pairs, cfg.segment.class_weight,
+                # packed phase CE: one loss over the [B, H+1, W+1, 4C]
+                # phase-logits layout (gt rearranged once into it) —
+                # identical loss/grads to the full-res CE, with no
+                # full-res tensor and no per-slice transposes in the
+                # backward (segmentation_loss.py)
+                losses["loss_seg"] = cross_entropy_loss_phase_packed(
+                    outputs["seg_phase"], gt, cfg.segment.class_weight,
                     use_top_k=cfg.segment.use_top_k,
                     top_k_ratio=cfg.segment.top_k_ratio,
                     use_focal=cfg.segment.use_focal)

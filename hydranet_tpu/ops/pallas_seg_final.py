@@ -50,7 +50,13 @@ in scripts/bench_seg_final_v2.py now (a) uses an oracle with the
 kernel's exact f32-through arithmetic, and (b) is tie-aware: it fails
 only on argmax disagreements whose top-2 bf16 logit gap exceeds one
 bf16 ulp (accumulation ORDER can still flip genuine bf16 ties).
-Hardware verdict lives in docs/KNOBS.md (HN_PALLAS_SEGFINAL row).
+
+HARDWARE VERDICT (r4, artifacts/bench_seg_final_v2_r4b.log): parity
+passes exactly (1.000000 agreement, 0 tie flips, 0 real) — and the
+kernel LOSES 3.2x: 53.7 ms (element, unroll=1, rb=32) vs 16.7 ms for
+the shipped XLA phase conv at bs128/320^2/64->5. rb=max and all dma
+cells fail the remote compile helper. Final negative; the knob stays
+opt-in as the measured record. See docs/KNOBS.md.
 """
 
 from __future__ import annotations

@@ -165,9 +165,7 @@ def main():
         lvars, fused)
 
     cfg_d, cfg_l = cfg.detection, cfg.lane
-    anchors, regression, classification = (dout["anchors"],
-                                           dout["regression"],
-                                           dout["classification"])
+    anchors, regression, classification = dout
 
     def det_post(anchors, regression, classification):
         return det_ops.postprocess(

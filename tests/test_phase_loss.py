@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from hydranet_tpu.heads.segmentation_loss import (
-    cross_entropy_loss, cross_entropy_loss_phases)
+    cross_entropy_loss, cross_entropy_loss_phase_packed,
+    cross_entropy_loss_phases)
 from hydranet_tpu.models.hydranet import HydraNet
 from hydranet_tpu.ops.fused_upsample_conv import (
     phase_slices, upsample2x_conv3x3_phase_logits,
@@ -48,12 +49,21 @@ def test_phase_ce_matches_full(variant):
         return cross_entropy_loss_phases(_interleave_pairs(z, gt, cout),
                                          weights, **kw)
 
+    def packed(k, x, bias):
+        z = upsample2x_conv3x3_phase_logits(x, k, bias)
+        return cross_entropy_loss_phase_packed(z, gt, weights, **kw)
+
     lf, gf = jax.value_and_grad(full, argnums=(0, 1, 2))(k, x, bias)
     lp, gp = jax.value_and_grad(phased, argnums=(0, 1, 2))(k, x, bias)
+    lq, gq = jax.value_and_grad(packed, argnums=(0, 1, 2))(k, x, bias)
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lp),
                                rtol=1e-5, atol=1e-6)
-    for a, b_ in zip(gf, gp):
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lq),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_, c_ in zip(gf, gp, gq):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
                                    rtol=1e-4, atol=1e-5)
 
 
