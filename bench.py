@@ -47,12 +47,55 @@ def main():
     from hydranet_tpu.models.hydranet import HydraNet
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_config(os.path.join(repo,
-                                   "configs/hydranet_joint_big_backbone.yml"))
+    # HN_CONFIG: bench a different preset (e.g. the convergence preset, to
+    # pair with a trained checkpoint — no trained checkpoint exists for the
+    # flagship big-backbone config; the reference publishes no weights).
+    cfg_path = os.environ.get(
+        "HN_CONFIG", os.path.join(repo,
+                                  "configs/hydranet_joint_big_backbone.yml"))
+    cfg = load_config(cfg_path)
 
     model = HydraNet(cfg=cfg, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    h, w = cfg.input_hw
+    x0 = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+
+    # HN_CKPT: serve a trained orbax checkpoint (epoch_N dir saved by the
+    # trainer) so score densities, certified-top-k fallbacks and NMS chain
+    # lengths are the real trained ones (VERDICT r3 weak #6).
+    ckpt = os.environ.get("HN_CKPT", "")
+    weights_tag = "random-init"
+    if ckpt:
+        import orbax.checkpoint as ocp
+
+        # target-free restore: the trainer's TrainState lands as a dict of
+        # its fields; only params + batch_stats matter for serving
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+        variables = {"params": raw["params"],
+                     "batch_stats": raw.get("batch_stats") or {}}
+        weights_tag = "ckpt:" + os.path.basename(os.path.normpath(ckpt))
+
+    # HN_SCORE_BIAS: override the classifier header bias (default is the
+    # focal prior -4.59 => ~0 anchors cross the 0.4 threshold at random
+    # init, making postprocess trivially cheap). A value like -0.35 pushes
+    # a realistic few-percent of anchors over threshold so the certified
+    # top-k fallback and real NMS suppression chains are exercised at the
+    # headline config, which has no trained checkpoint.
+    sb = os.environ.get("HN_SCORE_BIAS", "")
+    if sb:
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(variables["params"])
+        nb = 0
+        for path in list(flat):
+            if "classifier" in path and path[-1] == "bias" \
+                    and "header" in "/".join(str(p) for p in path):
+                flat[path] = jnp.full_like(flat[path], float(sb))
+                nb += 1
+        assert nb > 0, "no classifier header bias found"
+        variables = {**variables,
+                     "params": flax.traverse_util.unflatten_dict(flat)}
+        weights_tag += f"+score_bias={sb}"
 
     # HN_QUANT=int8: serve the PTQ-quantized pipeline (ops/quantize.py);
     # calibration runs below once the bench frames exist.
@@ -110,8 +153,9 @@ def main():
 
     print(json.dumps({
         "metric": ("frames/sec/chip, full 3-head pipeline e2e "
-                   f"(1080p in, 640x640 net, bs{BATCH}, "
-                   f"{'int8-PTQ' if quant == 'int8' else 'bf16'}, preprocess+"
+                   f"(1080p in, {w}x{h} net, bs{BATCH}, "
+                   f"{'int8-PTQ' if quant == 'int8' else 'bf16'}, "
+                   f"{weights_tag}, preprocess+"
                    "forward+det NMS+seg argmax+lane decode/NMS on device); "
                    f"p50 batch latency {p50_batch_ms:.1f} ms "
                    f"({p50_batch_ms / BATCH:.2f} ms/frame)"),

@@ -153,6 +153,57 @@ def phase_slices(z: jnp.ndarray, cout: int):
             ((1, 1), z[:, 1:, 1:, 3 * cout:4 * cout])]
 
 
+def _wpack_argmax(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                  g: int = 6) -> jnp.ndarray:
+    """W-packed phase conv + argmax: the roofline fix for the final seg
+    stage (argmax decode path).
+
+    The plain phase conv emits 4*Cout=20 channels — lane-padded 20->128 on
+    TPU, so the [B, 321, 321, 20] logits tensor physically round-trips
+    ~6.8 GB of HBM at bs128 (written by the conv, re-read by the argmax):
+    the stage measures 15.5 ms against a <1 ms MXU bound. Packing `g`
+    consecutive output COLUMNS into the channel dim fixes the layout at
+    the source: a stride-(1, g) conv whose kernel [2, g+1, Cin, g*4*Cout]
+    embeds the phase kernels at column offset `t-gi` (zeros elsewhere)
+    computes out[b, h, wg, (gi, pc)] = y[b, h, wg*g + gi, pc] EXACTLY
+    (the zero taps add exact 0.0 terms; accumulation order inside a conv
+    is unspecified either way). With g=6 the output is [B, 321, 54, 120]
+    — 94% lane utilization, ~0.55 GB physical — and the argmax reduces it
+    before anything fat exists. FLOPs grow (g+1)/2 x from the zero taps,
+    but the stage sits >20x above its MXU bound, so trading dark FLOPs
+    for layout is the right TPU call.
+
+    Returns int32 class ids [B, 2H, 2W], same contract as
+    upsample2x_conv3x3_argmax."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    n = 4 * cout
+    pk = _phase_kernels(kernel)                     # [2, 2, Cin, 4*Cout]
+    # kernel [2, g+1, Cin, g*4*Cout]: block gi gets pk at col offset gi
+    kw = jnp.zeros((2, g + 1, cin, g * n), pk.dtype)
+    for gi in range(g):
+        kw = kw.at[:, gi:gi + 2, :, gi * n:(gi + 1) * n].set(pk)
+    wg = -(-(w + 1) // g)                           # ceil((W+1)/g) groups
+    pad_w = (wg - 1) * g + (g + 1) - (w + 2)        # extra edge cols needed
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)), mode="edge")
+    yw = jax.lax.conv_general_dilated(
+        xp, kw, (1, g), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)             # [B, H+1, wg, g*4*Cout]
+    yw = yw + jnp.tile(bias, 4 * g).astype(yw.dtype)
+    # per-(group, phase) argmax at the packed layout, then unpack columns
+    a = jnp.argmax(yw.reshape(b, h + 1, wg, g * 4, cout),
+                   axis=-1).astype(jnp.int8)        # [B, H+1, wg, g*4]
+    a = a.reshape(b, h + 1, wg * g, 4)[:, :, :w + 1]  # [B, H+1, W+1, 4]
+    p00 = a[:, :-1, :-1, 0]
+    p01 = a[:, :-1, 1:, 1]
+    p10 = a[:, 1:, :-1, 2]
+    p11 = a[:, 1:, 1:, 3]
+    out = jnp.stack([p00, p01, p10, p11], axis=-1).reshape(b, h, w, 2, 2)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, 2 * w)
+    return out.astype(jnp.int32)
+
+
 def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
                               bias: jnp.ndarray) -> jnp.ndarray:
     """argmax_c(conv3x3(reflect_pad(up2(x))) + bias) without EVER forming
@@ -169,6 +220,13 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     consumers; the interleave itself runs on int8)."""
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
+    # W-packed strided-conv formulation (see _wpack_argmax): fixes the
+    # 20->128 lane padding of the phase-logits round trip. HN_SEGFINAL_WPACK
+    # sets the column-group size g (0 disables); g must divide nothing in
+    # particular — ragged tails are edge-padded and sliced off.
+    wpack = int(os.environ.get("HN_SEGFINAL_WPACK", "0"))
+    if wpack > 1 and x.shape[0] >= 8:
+        return _wpack_argmax(x, kernel, bias, g=wpack)
     segfinal = os.environ.get("HN_PALLAS_SEGFINAL", "0")
     if segfinal in ("1", "2"):
         from hydranet_tpu.ops import pallas_seg_final

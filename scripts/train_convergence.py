@@ -61,6 +61,14 @@ def main():
                     default="configs/hydranet_convergence_procedural.yml")
     ap.add_argument("--resume", default="",
                     help="orbax checkpoint dir (epoch_N) to resume from")
+    ap.add_argument("--fine-tuning", action="store_true",
+                    help="exercise the alternating joint -> per-head "
+                         "fine-tuning schedule (reference train.py:441-515): "
+                         "the tail of the run becomes epoch_tuning-long "
+                         "LANE / DET / SEG phases with the other heads' "
+                         "params frozen (masked updates)")
+    ap.add_argument("--epoch-tuning", type=int, default=2,
+                    help="epochs per per-head tuning phase")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "list", "train.txt")):
@@ -78,6 +86,10 @@ def main():
         if args.epochs is not None:
             d["train"]["epoch"] = args.epochs
         d["dataloader"]["data_list"] = os.path.join(args.data, "list")
+        if args.fine_tuning:
+            d["train"]["fine_tuning"] = True
+            d["train"]["epoch_tuning"] = args.epoch_tuning
+            d["train"]["tuning_turn"] = 1
         if resume:
             d["train"]["resume_from"] = resume
         return HydraTrainer(Config.from_dict(d), cfg_path=args.config)
@@ -103,6 +115,7 @@ def main():
             epoch = trainer.start_epoch
             continue
         row = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
+               "phase": trainer._phase_mask(epoch)[1],
                **{k: round(float(v), 4) for k, v in summary.items()}}
         with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -115,3 +115,23 @@ def test_pallas_seg_final_matches_zsplit():
                     x, k, b, interpret=True, halo=halo, unroll=unroll))
                 np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                            err_msg=f"{halo} unroll={unroll}")
+
+
+def test_wpack_argmax_matches_reference():
+    """The W-packed strided-conv argmax (final-stage lane-padding fix) is an
+    exact reformulation: stride-(1,g) conv with the phase kernels embedded
+    at per-group column offsets (zero taps elsewhere) computes the same
+    products, so the class ids match the full-res composition exactly."""
+    from hydranet_tpu.ops.fused_upsample_conv import (
+        _wpack_argmax, upsample2x_reflect_conv3x3)
+
+    rng = np.random.RandomState(3)
+    for (h, w, cin, cout, g) in [(10, 12, 6, 4, 3), (9, 11, 5, 3, 4),
+                                 (16, 20, 8, 5, 6), (20, 20, 16, 5, 7)]:
+        x = jnp.asarray(rng.randn(9, h, w, cin).astype(np.float32))
+        k = jnp.asarray(0.3 * rng.randn(3, 3, cin, cout).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.randn(cout).astype(np.float32))
+        ref = np.argmax(np.asarray(upsample2x_reflect_conv3x3(x, k, b)), -1)
+        got = np.asarray(_wpack_argmax(x, k, b, g=g))
+        assert got.shape == (9, 2 * h, 2 * w)
+        np.testing.assert_array_equal(got, ref, err_msg=f"g={g}")
