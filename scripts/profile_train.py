@@ -56,10 +56,19 @@ def build(cfg_dict):
     from hydranet_tpu.train.optimizer import make_optimizer
     from bench_train import make_batch
 
+    cfg_dict = {k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in cfg_dict.items()}
     if os.environ.get("HN_PHASE_LOSS", "0") == "1":
-        cfg_dict = {k: (dict(v) if isinstance(v, dict) else v)
-                    for k, v in cfg_dict.items()}
         cfg_dict["segment"]["phase_loss"] = True
+    # same remat defaults as bench_train.py: bs >= 96 only compiles with
+    # backbone remat + seg-decoder remat (no-remat bs128 kills the remote
+    # compile helper — bench_train_sweep_r3.log)
+    if os.environ.get("BENCH_TRAIN_REMAT",
+                      "1" if BATCH >= 96 else "0") == "1":
+        cfg_dict["backbone"]["remat"] = True
+    if os.environ.get("BENCH_TRAIN_SEG_REMAT",
+                      "1" if BATCH >= 96 else "0") == "1":
+        cfg_dict["segment"]["remat"] = True
     cfg = Config.from_dict(cfg_dict)
     model = HydraNet(cfg=cfg, dtype=jnp.bfloat16)
     h, w = cfg.input_hw
