@@ -113,7 +113,7 @@ class _FusedUpConv3x3(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_low, skip=None):
+    def __call__(self, x_low, skip=None, params_only: bool = False):
         from hydranet_tpu.ops import quantize as qz
         from hydranet_tpu.ops.fused_upsample_conv import (
             upsample2x_reflect_conv3x3_int8)
@@ -125,6 +125,10 @@ class _FusedUpConv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dtype = self.dtype or x_low.dtype
         k = kernel.astype(dtype)
+        if params_only:
+            # fused phase-tail path (SegmentHead): the caller consumes the
+            # stage's params directly; identical variable tree either way
+            return k, bias.astype(dtype)
         x_low = x_low.astype(dtype)
 
         # Serving-path int8 PTQ (ops/quantize.py): the upsample and skip
@@ -178,9 +182,10 @@ class _Conv3x3Shim(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_low, skip=None):
+    def __call__(self, x_low, skip=None, params_only: bool = False):
         return _FusedUpConv3x3(self.features, dtype=self.dtype,
-                               name="conv")(x_low, skip)
+                               name="conv")(x_low, skip,
+                                            params_only=params_only)
 
 
 class _OutputConvShim(nn.Module):
@@ -195,7 +200,10 @@ class _OutputConvShim(nn.Module):
 
     @nn.compact
     def __call__(self, x_low, emit_argmax: bool = False,
-                 emit_phase: bool = False):
+                 emit_phase: bool = False, params_only: bool = False):
+        if params_only:
+            return _FusedUpConv3x3(self.features, dtype=self.dtype,
+                                   name="conv")(x_low, params_only=True)
         if not (emit_argmax or emit_phase):
             return _FusedUpConv3x3(self.features, dtype=self.dtype,
                                    name="conv")(x_low)
@@ -231,7 +239,10 @@ class UpConvBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_low, skip=None):
+    def __call__(self, x_low, skip=None, params_only: bool = False):
+        if params_only:
+            return _Conv3x3Shim(self.features, dtype=self.dtype,
+                                name="conv")(x_low, skip, params_only=True)
         return nn.elu(_Conv3x3Shim(self.features, dtype=self.dtype,
                                    name="conv")(x_low, skip))
 
@@ -248,7 +259,18 @@ class SegmentHead(nn.Module):
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
                  emit_argmax: bool = False, emit_phase: bool = False):
+        import os
+
         from hydranet_tpu.parallel.spatial import shard_spatial
+
+        # phase-tail fast path (inference decode): the last up-stage and the
+        # final conv+argmax run entirely in phase space — the 2x-resolution
+        # intermediate never materializes interleaved and both convs are
+        # MXU-shaped (ops/fused_upsample_conv.upsample4x_phase_tail_argmax).
+        # Exact same ids (tests); param tree unchanged (params_only pulls
+        # the stages' kernels through their own modules).
+        phase_tail = (emit_argmax and not emit_phase
+                      and os.environ.get("HN_SEG_PHASE_TAIL", "0") == "1")
 
         n = len(self.num_ch_enc)
         x = input_features[-1]
@@ -260,6 +282,19 @@ class SegmentHead(nn.Module):
             x = ConvBlock(ch, dtype=self.dtype, name=f"decoder_{2 * i}")(x)
             skip = (input_features[n - 2 - i]
                     if self.use_skips and i < n - 1 else None)
+            if phase_tail and i == n - 1 and skip is None:
+                from hydranet_tpu.ops.fused_upsample_conv import (
+                    upsample4x_phase_tail_argmax)
+
+                k_up, b_up = UpConvBlock(
+                    ch, dtype=self.dtype,
+                    name=f"decoder_{2 * i + 1}")(x, None, params_only=True)
+                k_f, b_f = _OutputConvShim(
+                    self.num_output_channels, dtype=self.dtype,
+                    name=f"decoder_{2 * n}")(x, params_only=True)
+                dt = self.dtype or x.dtype
+                return upsample4x_phase_tail_argmax(
+                    x.astype(dt), k_up, b_up, k_f, b_f)
             x = UpConvBlock(ch, dtype=self.dtype,
                             name=f"decoder_{2 * i + 1}")(x, skip)
             # spatial-mode boundary hint (identity otherwise): each up-stage

@@ -224,7 +224,9 @@ def upsample2x_conv3x3_argmax(x: jnp.ndarray, kernel: jnp.ndarray,
     # 20->128 lane padding of the phase-logits round trip. HN_SEGFINAL_WPACK
     # sets the column-group size g (0 disables); g must divide nothing in
     # particular — ragged tails are edge-padded and sliced off.
-    wpack = int(os.environ.get("HN_SEGFINAL_WPACK", "0"))
+    # DEFAULT ON at g=6 since r4: 16.0 -> 12.7 ms standalone, e2e 1132.4 ->
+    # 1172.9 fps at bs128 (artifacts/bench_wpack_r4.log, exact parity).
+    wpack = int(os.environ.get("HN_SEGFINAL_WPACK", "6"))
     if wpack > 1 and x.shape[0] >= 8:
         return _wpack_argmax(x, kernel, bias, g=wpack)
     segfinal = os.environ.get("HN_PALLAS_SEGFINAL", "0")
@@ -267,6 +269,99 @@ def _phase_argmax_interleave(y, b, h, w, cout):
     a = a.reshape(b, h, w, 2, 2)
     a = a.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, 2 * w)
     return a.astype(jnp.int32)
+
+
+def _phase2_kernel(k_fin: jnp.ndarray, cmid: int) -> jnp.ndarray:
+    """[3, 3, Cmid, Cout] final-stage kernel -> the [2, 2, 4*Cmid, 16*Cout]
+    kernel that applies it directly to the PREVIOUS up-stage's phase-major
+    output z3 (layout of upsample2x_conv3x3_phase_logits: blocks (pi, pj),
+    z3[t + pi, u + pj, block p] = x320[2t + pi, 2u + pj]).
+
+    Derivation (rows; columns symmetric): the final phase conv reads
+    xp320[a' + r] with a' = 2m + qi, i.e. x320 row alpha = 2m + qi + r - 1:
+      qi=0: r=0 -> (p=1, x-row m-1) -> z3 row m,   window 0
+            r=1 -> (p=0, x-row m)   -> z3 row m,   window 0
+      qi=1: r=0 -> (p=0, x-row m)   -> z3 row m,   window 0
+            r=1 -> (p=1, x-row m)   -> z3 row m+1, window 1
+    so every output parity q reads a 2x2 window of z3 with per-(q, r, s)
+    phase-block selection — one dense-enough conv (25% nonzero), no
+    materialized interleave of the 2x-resolution tensor in between.
+
+    Edge exactness (why no boundary fix-up is needed): at m=0 the (qi=0,
+    r=0) tap wants clamped xp320[-1] = x320[0] but reads z3[0] block 1 —
+    the extrapolated row; with edge padding all row taps collapse onto
+    x160 row 0, so both equal (W0+W1+W2) * colconv(x160[0]) exactly (up
+    to the float associativity of the pre-summed kernel taps). The far
+    edge (m=H, qi=0, r=1 wanting clamped x320[2H-1]) collapses the same
+    way onto x160 row H-1. The only z3 cells with no such identity are
+    (qi=1, m=H) outputs — which the 4x interleave never reads."""
+    cout = k_fin.shape[-1]
+    pk = _phase_kernels(k_fin)  # [2, 2, Cmid, 4*Cout], d-major blocks
+    k2 = jnp.zeros((2, 2, 4 * cmid, 16 * cout), pk.dtype)
+    for qi in (0, 1):
+        for r in (0, 1):
+            pi, wi = ((1 - r, 0) if qi == 0 else (r, r))
+            for qj in (0, 1):
+                for s in (0, 1):
+                    pj, wj = ((1 - s, 0) if qj == 0 else (s, s))
+                    q = qi * 2 + qj
+                    p = pi * 2 + pj
+                    k2 = k2.at[wi, wj, p * cmid:(p + 1) * cmid,
+                               q * 4 * cout:(q + 1) * 4 * cout].set(pk[r, s])
+    return k2
+
+
+def upsample4x_phase_tail_argmax(x: jnp.ndarray,
+                                 k_up: jnp.ndarray, b_up: jnp.ndarray,
+                                 k_fin: jnp.ndarray, b_fin: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """argmax(conv3x3(reflect_pad(up2( elu(conv3x3(reflect_pad(up2(x))))))))
+    — the seg decoder's last TWO stages — computed ENTIRELY in phase space:
+    the 2x-resolution intermediate (320² at the flagship shape) never
+    materializes interleaved, and the 16-phase final logits carry 80
+    channels (5/8 of a lane tile) instead of the 20->128-padded phase
+    logits. x: [B, H, W, Cmid up-input]; returns int32 ids [B, 4H, 4W].
+
+    Exact to float associativity vs the composed reference path
+    (tests/test_fused_ops.py::test_phase_tail_*); boundary rows/cols
+    self-resolve via the edge-collapse identity (see _phase2_kernel).
+
+    Motivation (roofline r4): up3 ran at 54 TF/s (N=64 lanes) and the
+    final stage at 8.7 TF/s; in phase space the up conv is K=256/N=256
+    and the final conv K=1024/N=80 — MXU-shaped on both ends."""
+    b, h, w, _ = x.shape
+    cmid = k_up.shape[-1]
+    cout = k_fin.shape[-1]
+
+    z3 = upsample2x_conv3x3_phase_logits(x, k_up, b_up)  # [B,H+1,W+1,4Cmid]
+    z3 = jax.nn.elu(z3)
+    z3p = jnp.pad(z3, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    k2 = _phase2_kernel(k_fin, cmid)
+    y = jax.lax.conv_general_dilated(
+        z3p, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)                  # [B,H+1,W+1,16Cout]
+    y = y + jnp.tile(b_fin, 16).astype(y.dtype)
+    a = jnp.argmax(y.reshape(b, h + 1, w + 1, 16, cout),
+                   axis=-1).astype(jnp.int8)             # [B,H+1,W+1,16]
+
+    # 4x interleave: full-res row R = 4m + (2qi - di), so residue
+    # rho_i = (2qi - di) mod 4 maps (qi, di) = (0,0)->0, (1,1)->1,
+    # (1,0)->2, (0,1)->3; rho 3 reads rows 1..H (it owns R=4m-1), the
+    # rest rows 0..H-1. Columns identical.
+    by_rho = {0: (0, 0), 1: (1, 1), 2: (1, 0), 3: (0, 1)}
+    views = []
+    for ri in range(4):
+        qi, di = by_rho[ri]
+        rs = slice(1, h + 1) if ri == 3 else slice(0, h)
+        for rj in range(4):
+            qj, dj = by_rho[rj]
+            cs = slice(1, w + 1) if rj == 3 else slice(0, w)
+            ch = (qi * 2 + qj) * 4 + di * 2 + dj
+            views.append(a[:, rs, cs, ch])
+    out = jnp.stack(views, axis=-1).reshape(b, h, w, 4, 4)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, 4 * h, 4 * w)
+    return out.astype(jnp.int32)
 
 
 def upsample2x_reflect_conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray,

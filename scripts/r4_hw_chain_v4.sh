@@ -9,6 +9,14 @@ set -u
 cd "$(dirname "$0")/.."
 echo "=== chain v4 start $(date -u +%H:%M:%S) ==="
 
+echo "--- [0a] fused phase-tail standalone ---"
+timeout 3600 python scripts/bench_phase_tail.py 2>&1 | tee artifacts/bench_phase_tail_r4.log | grep -v WARNING
+echo "--- exit: $? $(date -u +%H:%M:%S) ---"
+
+echo "--- [0b] bench.py with HN_SEG_PHASE_TAIL=1 ---"
+HN_SEG_PHASE_TAIL=1 timeout 1800 python bench.py 2>&1 | tee artifacts/bench_phase_tail_pipeline_r4.log | tail -2
+echo "--- exit: $? $(date -u +%H:%M:%S) ---"
+
 IMG=artifacts/fixtures/bench_frame_1080p.jpg
 
 echo "--- [1/5] export bs16 + bs1 artifacts ---"

@@ -135,3 +135,47 @@ def test_wpack_argmax_matches_reference():
         got = np.asarray(_wpack_argmax(x, k, b, g=g))
         assert got.shape == (9, 2 * h, 2 * w)
         np.testing.assert_array_equal(got, ref, err_msg=f"g={g}")
+
+
+def test_phase_tail_argmax_matches_reference():
+    """The fused two-stage phase tail (up conv + ELU + final conv + argmax
+    computed entirely in phase space) returns exactly the ids of the
+    composed reference path, including every border row/col (the edge
+    taps collapse onto the same clamped rows — see _phase2_kernel)."""
+    from hydranet_tpu.ops.fused_upsample_conv import (
+        upsample2x_reflect_conv3x3, upsample4x_phase_tail_argmax)
+
+    rng = np.random.RandomState(7)
+    for (h, w, cin, cmid, cout) in [(10, 12, 6, 8, 4), (9, 11, 5, 7, 3),
+                                    (16, 20, 8, 16, 5), (3, 3, 4, 4, 5)]:
+        x = jnp.asarray(rng.randn(5, h, w, cin).astype(np.float32))
+        ku = jnp.asarray(0.3 * rng.randn(3, 3, cin, cmid).astype(np.float32))
+        bu = jnp.asarray(0.1 * rng.randn(cmid).astype(np.float32))
+        kf = jnp.asarray(0.3 * rng.randn(3, 3, cmid, cout).astype(np.float32))
+        bf = jnp.asarray(0.1 * rng.randn(cout).astype(np.float32))
+        x2 = jax.nn.elu(upsample2x_reflect_conv3x3(x, ku, bu))
+        ref = np.argmax(np.asarray(upsample2x_reflect_conv3x3(x2, kf, bf)),
+                        -1)
+        got = np.asarray(upsample4x_phase_tail_argmax(x, ku, bu, kf, bf))
+        assert got.shape == (5, 4 * h, 4 * w)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_segment_head_phase_tail_knob(monkeypatch):
+    """HN_SEG_PHASE_TAIL=1: same param tree, same class ids, logits path
+    untouched."""
+    from hydranet_tpu.heads.segmentation import SegmentHead
+
+    rng = np.random.RandomState(1)
+    enc, dec = (24, 16, 16, 16), (8, 12, 16, 24)
+    feats = [jnp.asarray(rng.randn(2, s, s, c).astype(np.float32))
+             for s, c in zip((32, 16, 8, 4), enc)]
+    seg = SegmentHead(num_ch_enc=enc, num_ch_dec=dec, num_output_channels=5)
+    v = seg.init(jax.random.PRNGKey(0), feats, emit_argmax=True)
+    ref = np.asarray(seg.apply(v, feats, emit_argmax=True))
+    monkeypatch.setenv("HN_SEG_PHASE_TAIL", "1")
+    v2 = seg.init(jax.random.PRNGKey(0), feats, emit_argmax=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+    got = np.asarray(seg.apply(v, feats, emit_argmax=True))
+    np.testing.assert_array_equal(got, ref)
