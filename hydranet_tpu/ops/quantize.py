@@ -1,9 +1,15 @@
 """Post-training int8 quantization (PTQ) for the serving path.
 
-TPU v5e's MXU runs s8 x s8 -> s32 at 2x the bf16 rate (394 vs 197 TOPS),
-so the conv-dominated forward pass has up to 2x headroom once weights and
-activations are int8. This module implements the standard symmetric PTQ
-recipe, hydranet_tpu-style (everything stays inside one XLA program —
+TPU v5e's MXU runs s8 x s8 -> s32 at 2x the bf16 rate (394 vs 197 TOPS) —
+but that doubling only pays where the MXU rate is the binding resource,
+and on this model it never is: measured int8 is a wash at bs128
+(1141.7 vs 1136.5 fps) and 25-33% SLOWER at bs1-16 (the quantize/dequant
+elementwise passes cost more than the rate win buys; see the decision
+table in docs/KNOBS.md and artifacts/bench_int8_latency_r4.log).
+Accuracy is at parity (mIoU .944 / AP .370 / lane F1 .938 at p99.5
+calibration). The module stands as a complete, accuracy-validated PTQ
+path for shapes that ARE MXU-bound. The recipe is standard symmetric
+PTQ, hydranet_tpu-style (everything stays inside one XLA program —
 quantize, integer conv, dequantize all fuse into the pipeline):
 
 - **weights**: per-output-channel symmetric, s_w[c] = max|w[..., c]| / 127,
