@@ -161,6 +161,13 @@ class SegmentCfg:
     top_k_ratio: float = 0.3
     use_focal: bool = False
     use_lovasz: bool = False
+    # hydranet_tpu extension: > 0 computes the Lovász with the sort-free
+    # binned-rank formulation (heads/segmentation_loss.py::
+    # lovasz_softmax_binned) — O(1/bins) from the exact loss, MXU
+    # histograms instead of a row-serial multi-million-element TPU sort.
+    # 0 keeps the exact sort-based form (reference parity; craters TPU
+    # step time at training shapes — see the RuntimeWarning).
+    lovasz_bins: int = 0
     segment_weight: float = 5.0
     # hydranet_tpu extension: rematerialize the whole seg decoder in the
     # backward pass (jax.checkpoint over the head) — the decoder's

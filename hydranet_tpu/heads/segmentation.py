@@ -261,6 +261,7 @@ class SegmentHead(nn.Module):
                  emit_argmax: bool = False, emit_phase: bool = False):
         import os
 
+        from hydranet_tpu.ops import quantize as qz
         from hydranet_tpu.parallel.spatial import shard_spatial
 
         # phase-tail fast path (inference decode): the last up-stage and the
@@ -268,9 +269,15 @@ class SegmentHead(nn.Module):
         # intermediate never materializes interleaved and both convs are
         # MXU-shaped (ops/fused_upsample_conv.upsample4x_phase_tail_argmax).
         # Exact same ids (tests); param tree unchanged (params_only pulls
-        # the stages' kernels through their own modules).
+        # the stages' kernels through their own modules). Default ON since
+        # chain v6: 19.11 -> 18.15 ms standalone over the up3+final pair,
+        # 1172.9 -> 1175.2 fps e2e (artifacts/bench_phase_tail_r4.log,
+        # bench_phase_tail_pipeline_r4.log). Quant modes keep the modular
+        # path — the params_only pull would bypass the last upconv's int8
+        # calibration sow (see _FusedUpConv3x3).
         phase_tail = (emit_argmax and not emit_phase
-                      and os.environ.get("HN_SEG_PHASE_TAIL", "0") == "1")
+                      and qz.current_mode() == "off"
+                      and os.environ.get("HN_SEG_PHASE_TAIL", "1") == "1")
 
         n = len(self.num_ch_enc)
         x = input_features[-1]

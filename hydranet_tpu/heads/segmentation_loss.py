@@ -253,8 +253,9 @@ def _warn_if_big_sort(n: int, what: str) -> None:
 
         warnings.warn(
             f"{what}: sorting {n} elements per class on TPU costs hundreds "
-            "of ms per step (see NOTES.md 'lovasz on TPU'); use the CE/top-k "
-            "loss for TPU training or restrict lovasz to small inputs.",
+            "of ms per step (see NOTES.md 'lovasz on TPU'); set "
+            "segment.lovasz_bins > 0 (sort-free binned form, O(1/bins) "
+            "from exact) or use the CE/top-k loss for TPU training.",
             RuntimeWarning, stacklevel=3)
 
 
@@ -288,6 +289,88 @@ def lovasz_softmax(
 
     losses, present = jax.vmap(class_loss)(jnp.arange(c))
     presentf = present.astype(p.dtype)
+    return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
+
+
+def lovasz_softmax_binned(
+    probas: jnp.ndarray,  # [B, H, W, C] probabilities
+    labels: jnp.ndarray,  # [B, H, W] int
+    ignore: Optional[int] = 255,
+    bins: int = 1024,
+) -> jnp.ndarray:
+    """Sort-free Lovász-Softmax via counting statistics — the TPU-fast
+    form behind `segment.lovasz_bins` (see `lovasz_softmax` for the exact
+    sort-based semantics of loss_lovasz.py:154-200).
+
+    Why this is possible: the Lovász extension value
+    `dot(errors_sorted, grad)` depends on the errors only through their
+    DESCENDING RANK GROUPS — `grad` is the first difference of a Jaccard
+    curve evaluated at cumulative (count, foreground-count) prefixes, so
+    any two orderings that agree on which group each pixel falls in give
+    the same loss. Quantizing the errors (which live in [0, 1]) into
+    `bins` equal buckets therefore yields the EXACT Lovász of the
+    quantized ranking: per-bucket (count, fg-sum, err-sum) histograms
+    replace the sort, cumulative sums over the `bins`-length axis replace
+    the per-pixel prefix scan, and each pixel's error receives the
+    bucket's Jaccard-difference weight spread evenly over the bucket
+    (the same tie convention as `_topk_sum_bitsearch`; torch hands an
+    arbitrary tie permutation to cumsum instead). The approximation error
+    vs the unquantized loss is bounded by the bucket width times the
+    total variation of the Jaccard curve: O(1/bins), measured ~1e-3 at
+    bins=1024 (tests/test_phase_loss.py::test_lovasz_binned_*).
+
+    Why histograms instead of the sort: TPU sorts over multi-million
+    element axes are row-serial (measured in NOTES.md — this is the
+    repo's no-big-sorts rule), while the histograms here are three
+    one-hot contractions [S, N] @ [N, 3S] with bins = S*S — MXU work
+    that runs in a few ms at training shapes where `jnp.argsort` costs
+    hundreds. Gradients flow through the err-sum histogram only (the
+    bucket assignment and Jaccard weights are stop-gradient, exactly
+    like torch's detached `perm`/`grad`)."""
+    b, h, w, c = probas.shape
+    s = int(np.sqrt(bins))
+    assert s * s == bins, "bins must be a perfect square (one-hot split)"
+    p = probas.astype(jnp.float32).reshape(-1, c)
+    y = labels.reshape(-1).astype(jnp.int32)
+    valid = (y != ignore) if ignore is not None else jnp.ones_like(y, bool)
+    validf = valid.astype(jnp.float32)
+    arange_s = jnp.arange(s, dtype=jnp.int32)
+
+    def class_loss(ci):
+        fg = (y == ci).astype(jnp.float32) * validf
+        err = jnp.abs(fg - p[:, ci]) * validf  # in [0, 1]
+        # bucket index with bucket 0 = LARGEST errors, so ascending
+        # cumsums walk the descending sort order. Invalid pixels carry
+        # err = 0 / fg = 0: they land in the last bucket where — as in
+        # the exact form, where they sort last — their contribution
+        # vanishes with their error.
+        idx = jnp.clip(((1.0 - jax.lax.stop_gradient(err)) * bins)
+                       .astype(jnp.int32), 0, bins - 1)
+        oh_hi = ((idx // s)[:, None] == arange_s).astype(jnp.float32)
+        oh_lo = ((idx % s)[:, None] == arange_s).astype(jnp.float32)
+        wts = jnp.stack(
+            [jnp.ones_like(err), fg, err], axis=-1)  # [N, 3]
+        m = (oh_lo[:, :, None] * wts[:, None, :]).reshape(-1, 3 * s)
+        hist = jax.lax.dot_general(
+            oh_hi, m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [S, 3S]
+        hist = hist.reshape(s, s, 3).reshape(bins, 3)
+        cnt, fgs, errs = hist[:, 0], hist[:, 1], hist[:, 2]
+        cum_n = jnp.cumsum(cnt)
+        cum_f = jnp.cumsum(fgs)
+        gts = cum_f[-1]
+        intersection = gts - cum_f
+        union = gts + (cum_n - cum_f)
+        jaccard = 1.0 - intersection / jnp.maximum(union, 1.0)
+        djac = jaccard - jnp.concatenate([jnp.zeros((1,)), jaccard[:-1]])
+        bucket_w = jax.lax.stop_gradient(djac / jnp.maximum(cnt, 1.0))
+        loss_c = jnp.dot(bucket_w, errs,
+                         precision=jax.lax.Precision.HIGHEST)
+        present = gts > 0
+        return loss_c, present
+
+    losses, present = jax.vmap(class_loss)(jnp.arange(c))
+    presentf = present.astype(jnp.float32)
     return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
 
 

@@ -24,7 +24,8 @@ from hydranet_tpu.heads.lane import LaneHead
 from hydranet_tpu.heads.lane_loss import lane_cls_loss, lane_reg_loss
 from hydranet_tpu.heads.segmentation import SegmentHead
 from hydranet_tpu.heads.segmentation_loss import (
-    cross_entropy_loss, cross_entropy_loss_phase_packed, lovasz_softmax)
+    cross_entropy_loss, cross_entropy_loss_phase_packed, lovasz_softmax,
+    lovasz_softmax_binned)
 from hydranet_tpu.models.bifpn import StackBiFPN
 from hydranet_tpu.models.regnet import RegNetY
 
@@ -145,8 +146,13 @@ class HydraNet(nn.Module):
                     use_focal=cfg.segment.use_focal)
             elif cfg.segment.use_lovasz:
                 logits = outputs["seg"]
-                losses["loss_seg"] = lovasz_softmax(
-                    jax.nn.softmax(logits, axis=-1), gt, ignore=255)
+                if cfg.segment.lovasz_bins > 0:
+                    losses["loss_seg"] = lovasz_softmax_binned(
+                        jax.nn.softmax(logits, axis=-1), gt, ignore=255,
+                        bins=cfg.segment.lovasz_bins)
+                else:
+                    losses["loss_seg"] = lovasz_softmax(
+                        jax.nn.softmax(logits, axis=-1), gt, ignore=255)
             else:
                 logits = outputs["seg"]
                 losses["loss_seg"] = cross_entropy_loss(

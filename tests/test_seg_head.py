@@ -162,3 +162,91 @@ def test_emit_argmax_matches_logits_argmax():
     decided = margin > 1e-4
     assert np.all(a_fused[decided] == a_ref[decided])
     assert decided.mean() > 0.99
+
+
+def test_lovasz_binned_exact_on_grid():
+    """When every error sits exactly on a distinct bin's grid point, the
+    binned form IS the exact Lovász (tied errors contribute identically
+    under any permutation), so the two must agree to float tolerance."""
+    from hydranet_tpu.heads.segmentation_loss import lovasz_softmax_binned
+
+    bins = 256
+    rng = np.random.RandomState(0)
+    b, h, w, c = 2, 8, 8, 3
+    target = rng.randint(0, c, size=(b, h, w))
+    # p[.., ci] drawn from bin centers k/bins + 0.5/bins so err = |fg - p|
+    # lands strictly inside one bucket per distinct value
+    grid = (rng.randint(0, bins, size=(b, h, w, c)) + 0.5) / bins
+    probas = jnp.asarray(grid.astype(np.float32))
+    exact = lovasz_softmax(probas, jnp.asarray(target), ignore=255)
+    binned = lovasz_softmax_binned(probas, jnp.asarray(target), ignore=255,
+                                   bins=bins)
+    np.testing.assert_allclose(float(binned), float(exact),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_ignore", [False, True])
+def test_lovasz_binned_converges(with_ignore):
+    """O(1/bins) error vs the exact sort-based loss; monotone improvement
+    with more bins on random inputs (incl. ignore pixels + absent class)."""
+    from hydranet_tpu.heads.segmentation_loss import lovasz_softmax_binned
+
+    rng = np.random.RandomState(7)
+    b, h, w, c = 2, 16, 16, 5
+    logits = rng.randn(b, h, w, c).astype(np.float32)
+    target = rng.randint(0, c - 1, size=(b, h, w))  # class c-1 absent
+    if with_ignore:
+        target[0, :6, :6] = 255
+    probas = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    exact = float(lovasz_softmax(probas, jnp.asarray(target), ignore=255))
+
+    errs = {}
+    for bins in (64, 1024, 4096):
+        got = float(lovasz_softmax_binned(probas, jnp.asarray(target),
+                                          ignore=255, bins=bins))
+        errs[bins] = abs(got - exact)
+        # total variation of the Jaccard curve is <= 2
+        assert errs[bins] <= 4.0 / bins + 1e-5, (bins, got, exact)
+    assert errs[4096] <= errs[64] + 1e-6
+
+
+def test_lovasz_binned_gradient_matches_exact():
+    """The binned gradient converges to the exact Lovász gradient (cosine
+    similarity) — bucket weights approximate the per-rank Jaccard diffs."""
+    from hydranet_tpu.heads.segmentation_loss import lovasz_softmax_binned
+
+    rng = np.random.RandomState(3)
+    b, h, w, c = 1, 12, 12, 4
+    logits = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, c, size=(b, h, w)))
+
+    def exact_fn(lg):
+        return lovasz_softmax(jax.nn.softmax(lg, axis=-1), target,
+                              ignore=255)
+
+    def binned_fn(lg):
+        return lovasz_softmax_binned(jax.nn.softmax(lg, axis=-1), target,
+                                     ignore=255, bins=4096)
+
+    g_exact = np.asarray(jax.grad(exact_fn)(logits)).ravel()
+    g_binned = np.asarray(jax.grad(binned_fn)(logits)).ravel()
+    assert np.all(np.isfinite(g_binned))
+    assert np.linalg.norm(g_exact) > 0
+    cos = (g_exact @ g_binned /
+           (np.linalg.norm(g_exact) * np.linalg.norm(g_binned)))
+    assert cos > 0.98, cos
+
+
+def test_lovasz_binned_jits_fixed_shape():
+    """The binned form traces into one fixed-shape XLA program (no sort,
+    no data-dependent shapes) and is usable under jit + grad."""
+    from hydranet_tpu.heads.segmentation_loss import lovasz_softmax_binned
+
+    rng = np.random.RandomState(5)
+    probas = jax.nn.softmax(
+        jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32)), axis=-1)
+    target = jnp.asarray(rng.randint(0, 3, size=(2, 8, 8)))
+    fn = jax.jit(lambda p: lovasz_softmax_binned(p, target, bins=256))
+    v1 = float(fn(probas))
+    v2 = float(fn(probas))
+    assert np.isfinite(v1) and v1 == v2
