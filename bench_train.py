@@ -68,7 +68,7 @@ def make_batch(cfg, batch_size, h, w):
 
 def run_cell(batch_size: int, remat: bool, iters: int,
              dtype: str = "bfloat16", seg_remat: bool = False,
-             phase: bool = False) -> dict:
+             phase: bool = False, wpack: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,11 +81,12 @@ def run_cell(batch_size: int, remat: bool, iters: int,
     repo = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(repo,
                                    "configs/hydranet_joint_big_backbone.yml"))
-    if remat or seg_remat or phase:
+    if remat or seg_remat or phase or wpack:
         d = cfg.to_dict()
         d["backbone"]["remat"] = remat
         d["segment"]["remat"] = seg_remat
         d["segment"]["phase_loss"] = phase
+        d["segment"]["wpack_loss"] = wpack
         cfg = Config.from_dict(d)
 
     model = HydraNet(cfg=cfg, dtype={"bfloat16": jnp.bfloat16,
@@ -123,6 +124,7 @@ def run_cell(batch_size: int, remat: bool, iters: int,
         "remat": remat,
         "seg_remat": seg_remat,
         "phase_loss": phase,
+        "wpack_loss": wpack,
         "dtype": dtype,
         "samples_per_s": round(batch_size / dt, 2),
         "step_ms": round(dt * 1000, 1),
@@ -149,15 +151,23 @@ def run_cell(batch_size: int, remat: bool, iters: int,
 def main():
     sweep = "--sweep" in sys.argv or os.environ.get("BENCH_TRAIN_SWEEP") == "1"
     phase_env = os.environ.get("HN_PHASE_LOSS", "0") == "1"
+    # w-packed phase CE (segment.wpack_loss, cross_entropy_loss_wpacked):
+    # the wpack layout fix applied to the TRAIN side — the phase CE's
+    # [B,321,321,20] tensor still lane-pads 20->128 (the suspected reason
+    # phase_loss measured e2e-negative); the packed layout is 120/128
+    wpack_env = int(os.environ.get("HN_WPACK_LOSS", "0"))
     if not sweep:
         cell = run_cell(BATCH, remat=REMAT, iters=ITERS,
-                        seg_remat=SEG_REMAT, phase=phase_env)
+                        seg_remat=SEG_REMAT, phase=phase_env,
+                        wpack=wpack_env)
         print(json.dumps({
             "metric": (f"train step (3-head fwd+loss+bwd+Adam, bs{BATCH}, "
                        "640x640, bf16 compute"
                        + (", remat" if REMAT else "")
                        + (", seg-remat" if SEG_REMAT else "")
-                       + (", phase CE" if phase_env else "") + ")"),
+                       + (", phase CE" if phase_env else "")
+                       + (f", wpack CE g={wpack_env}" if wpack_env else "")
+                       + ")"),
             "value": cell["samples_per_s"],
             "unit": "samples/sec/chip",
             **{k: v for k, v in cell.items() if k != "samples_per_s"},

@@ -181,6 +181,15 @@ class SegmentCfg:
     # reductions are permutation-invariant) without ever materializing
     # the full-res C=5 logits, whose minor dim lane-pads 5 -> 128 on TPU.
     phase_loss: bool = False
+    # hydranet_tpu extension: train-time W-PACKED phase CE — the final
+    # stage emits [B, H+1, WG, g*4*C] w-packed phase logits (the wpack
+    # trick that won the inference headline) and the CE consumes the
+    # packed layout directly (heads/segmentation_loss.py::
+    # cross_entropy_loss_wpacked). Value is the column-group size g
+    # (0 = off; 6 fills 120/128 lanes at C=5). Identical loss/grads to
+    # the full-res CE; unlike phase_loss, neither direction ever
+    # materializes a 20->128 lane-padded tensor.
+    wpack_loss: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "class_list", tuple(self.class_list))

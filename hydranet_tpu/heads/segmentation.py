@@ -200,18 +200,27 @@ class _OutputConvShim(nn.Module):
 
     @nn.compact
     def __call__(self, x_low, emit_argmax: bool = False,
-                 emit_phase: bool = False, params_only: bool = False):
+                 emit_phase: bool = False, emit_wpack: int = 0,
+                 params_only: bool = False):
         if params_only:
             return _FusedUpConv3x3(self.features, dtype=self.dtype,
                                    name="conv")(x_low, params_only=True)
-        if not (emit_argmax or emit_phase):
+        if not (emit_argmax or emit_phase or emit_wpack):
             return _FusedUpConv3x3(self.features, dtype=self.dtype,
                                    name="conv")(x_low)
         from hydranet_tpu.ops.fused_upsample_conv import (
-            upsample2x_conv3x3_argmax, upsample2x_conv3x3_phase_logits)
+            upsample2x_conv3x3_argmax, upsample2x_conv3x3_phase_logits,
+            upsample2x_conv3x3_wpack_logits)
 
-        fn = (upsample2x_conv3x3_phase_logits if emit_phase
-              else upsample2x_conv3x3_argmax)
+        if emit_wpack:
+            # train-time w-packed phase logits (segment.wpack_loss): the
+            # loss consumes the packed layout directly — see
+            # cross_entropy_loss_wpacked
+            fn = (lambda x, k, b:
+                  upsample2x_conv3x3_wpack_logits(x, k, b, emit_wpack)[0])
+        else:
+            fn = (upsample2x_conv3x3_phase_logits if emit_phase
+                  else upsample2x_conv3x3_argmax)
 
         # identical param tree (<name>/conv/kernel, bias) as the logits path
         class _Leaf(nn.Module):
@@ -258,7 +267,8 @@ class SegmentHead(nn.Module):
 
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray],
-                 emit_argmax: bool = False, emit_phase: bool = False):
+                 emit_argmax: bool = False, emit_phase: bool = False,
+                 emit_wpack: int = 0):
         import os
 
         from hydranet_tpu.ops import quantize as qz
@@ -317,7 +327,8 @@ class SegmentHead(nn.Module):
         out = _OutputConvShim(self.num_output_channels, dtype=self.dtype,
                               name=f"decoder_{2 * n}")(
                                   x, emit_argmax=emit_argmax,
-                                  emit_phase=emit_phase)
+                                  emit_phase=emit_phase,
+                                  emit_wpack=emit_wpack)
         return out
 
     @staticmethod

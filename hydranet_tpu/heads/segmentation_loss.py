@@ -225,6 +225,71 @@ def cross_entropy_loss_phase_packed(
     return jnp.sum(per) / (b * n_true)
 
 
+def cross_entropy_loss_wpacked(
+    yw: jnp.ndarray,  # [B, H+1, WG, g*4*C] w-packed phase logits
+    target: jnp.ndarray,  # [B, 2H, 2W] int — FULL-resolution gt
+    class_weights: Sequence[float],
+    g: int,
+    ignore_index: int = 255,
+    use_top_k: bool = False,
+    top_k_ratio: float = 1.0,
+    use_focal: bool = False,
+    gamma: float = 2.0,
+    alpha: float = 1.0,
+) -> jnp.ndarray:
+    """CE over the W-PACKED phase logits of
+    `upsample2x_conv3x3_wpack_logits` — the train-side twin of the
+    inference wpack argmax.
+
+    Numerically identical to `cross_entropy_loss(full_logits, target)`
+    for the same reason as `cross_entropy_loss_phase_packed`: packed cell
+    (h', wgi, gi, phase) IS one full-res pixel, per-pixel values are the
+    same products, and every reduction is permutation-invariant. The gt
+    is rearranged ONCE into the packed layout (int strided slices + pads,
+    no gradient); the forward logits AND the backward cotangent live in
+    the [.., g*4*C] layout — 120/128 lanes at g=6/C=5 instead of the
+    plain phase tensor's 20 -> 128 lane pad, whose physical HBM round
+    trip is what kept `phase_loss` e2e-negative at bs128 (KNOBS: 233.1
+    vs 237.0 samples/s) even though pixel math was identical.
+
+    Cells that map to no true pixel — the phase borders (as in
+    phase_packed) and the ragged packed-tail columns past W — get gt =
+    ignore_index, so `_ce_per_pixel` zeroes them; the mean divides by the
+    true pixel count and top-k's tied-at-zero boundary sum is exact."""
+    b, hp, wg, c4g = yw.shape
+    c = c4g // (4 * g)
+    h, w = hp - 1, target.shape[2] // 2
+    weights = jnp.asarray(class_weights, dtype=yw.dtype)
+    target = target.astype(jnp.int32)
+
+    gts = []
+    for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        gt = target[:, di::2, dj::2]  # [B, H, W] — exact phase view
+        gts.append(jnp.pad(gt, ((0, 0), (di, 1 - di), (dj, 1 - dj)),
+                           constant_values=ignore_index))
+    gtp = jnp.stack(gts, axis=-1)  # [B, H+1, W+1, 4]
+    # pack columns exactly like the logits: col w = wgi*g + gi, ragged
+    # tail gets ignore_index
+    gtp = jnp.pad(gtp, ((0, 0), (0, 0), (0, wg * g - (w + 1)), (0, 0)),
+                  constant_values=ignore_index)
+    gtp = gtp.reshape(b, hp, wg, g * 4)
+
+    z5 = yw.reshape(b, hp, wg, g * 4, c)
+    per = _ce_per_pixel(z5, gtp, weights, ignore_index, use_focal,
+                        gamma, alpha)  # [B, H+1, WG, g*4]
+    if use_focal:
+        # the focal branch of _ce_per_pixel has no ignore handling (the
+        # reference's doesn't either); zero the non-pixel cells explicitly
+        per = per * (gtp != ignore_index).astype(per.dtype)
+
+    n_true = 4 * h * w
+    per = per.reshape(b, -1)
+    if use_top_k and not use_focal:
+        k = max(int(top_k_ratio * n_true), 1)
+        return jnp.mean(_topk_sum_bitsearch(per, k) / k)
+    return jnp.sum(per) / (b * n_true)
+
+
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     """Gradient of the Lovasz extension w.r.t sorted errors —
     loss_lovasz.py:19-31."""

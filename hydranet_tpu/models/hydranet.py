@@ -24,8 +24,8 @@ from hydranet_tpu.heads.lane import LaneHead
 from hydranet_tpu.heads.lane_loss import lane_cls_loss, lane_reg_loss
 from hydranet_tpu.heads.segmentation import SegmentHead
 from hydranet_tpu.heads.segmentation_loss import (
-    cross_entropy_loss, cross_entropy_loss_phase_packed, lovasz_softmax,
-    lovasz_softmax_binned)
+    cross_entropy_loss, cross_entropy_loss_phase_packed,
+    cross_entropy_loss_wpacked, lovasz_softmax, lovasz_softmax_binned)
 from hydranet_tpu.models.bifpn import StackBiFPN
 from hydranet_tpu.models.regnet import RegNetY
 
@@ -80,10 +80,16 @@ class HydraNet(nn.Module):
             # train-time phase CE (segment.phase_loss): the final stage
             # emits phase logits; compute_losses consumes the exact
             # per-phase slices (key "seg_phase")
+            emit_wpack = (int(cfg.segment.wpack_loss)
+                          if (cfg.segment.wpack_loss and train
+                              and not seg_argmax
+                              and not cfg.segment.use_lovasz) else 0)
             emit_phase = bool(cfg.segment.phase_loss and train
+                              and not emit_wpack
                               and not seg_argmax
                               and not cfg.segment.use_lovasz)
-            key = "seg_phase" if emit_phase else "seg"
+            key = ("seg_wpack" if emit_wpack
+                   else "seg_phase" if emit_phase else "seg")
             if cfg.segment.remat and train:
                 # checkpoint the WHOLE decoder: backward recomputes it from
                 # the 4 (small) input features instead of storing every
@@ -91,11 +97,13 @@ class HydraNet(nn.Module):
                 # train step) — config.segment.remat
                 out[key] = nn.remat(
                     lambda mdl, f: mdl(f, emit_argmax=seg_argmax,
-                                       emit_phase=emit_phase))(
+                                       emit_phase=emit_phase,
+                                       emit_wpack=emit_wpack))(
                         seg, seg_in)
             else:
                 out[key] = seg(seg_in, emit_argmax=seg_argmax,
-                               emit_phase=emit_phase)
+                               emit_phase=emit_phase,
+                               emit_wpack=emit_wpack)
 
         if cfg.train.train_detect:
             det = DetectionHead(
@@ -133,7 +141,18 @@ class HydraNet(nn.Module):
 
         if cfg.train.train_seg:
             gt = batch["gt_seg"].astype(jnp.int32)
-            if "seg_phase" in outputs:
+            if "seg_wpack" in outputs:
+                # w-packed phase CE: one loss over the [B, H+1, WG, g*4*C]
+                # packed layout — identical loss/grads to the full-res CE
+                # with the cotangent in a 120/128-lane layout
+                # (segmentation_loss.py::cross_entropy_loss_wpacked)
+                losses["loss_seg"] = cross_entropy_loss_wpacked(
+                    outputs["seg_wpack"], gt, cfg.segment.class_weight,
+                    g=int(cfg.segment.wpack_loss),
+                    use_top_k=cfg.segment.use_top_k,
+                    top_k_ratio=cfg.segment.top_k_ratio,
+                    use_focal=cfg.segment.use_focal)
+            elif "seg_phase" in outputs:
                 # packed phase CE: one loss over the [B, H+1, W+1, 4C]
                 # phase-logits layout (gt rearranged once into it) —
                 # identical loss/grads to the full-res CE, with no

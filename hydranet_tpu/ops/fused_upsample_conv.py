@@ -153,6 +153,35 @@ def phase_slices(z: jnp.ndarray, cout: int):
             ((1, 1), z[:, 1:, 1:, 3 * cout:4 * cout])]
 
 
+def upsample2x_conv3x3_wpack_logits(x: jnp.ndarray, kernel: jnp.ndarray,
+                                    bias: jnp.ndarray, g: int = 6):
+    """W-packed phase logits: ONE stride-(1, g) conv whose kernel embeds
+    the phase kernels at per-group column offsets (zero taps elsewhere)
+    emits yw[b, h', wgi, gi*4*Cout + pc] = phase_logits[b, h', wgi*g + gi,
+    pc] EXACTLY — the [B, H+1, W+1, 4*Cout] phase tensor (whose 4*Cout=20
+    minor dim lane-pads to 128 on TPU) never exists; the packed minor dim
+    is g*4*Cout (120/128 lanes at g=6). Ragged tail columns are edge-
+    padded on input and carry garbage logits in groups past W — callers
+    slice (argmax) or ignore-mask (CE) them. Returns (yw [B, H+1, WG,
+    g*4*Cout], WG = ceil((W+1)/g))."""
+    _, _, w, cin = x.shape
+    cout = kernel.shape[-1]
+    n = 4 * cout
+    pk = _phase_kernels(kernel)                     # [2, 2, Cin, 4*Cout]
+    # kernel [2, g+1, Cin, g*4*Cout]: block gi gets pk at col offset gi
+    kw = jnp.zeros((2, g + 1, cin, g * n), pk.dtype)
+    for gi in range(g):
+        kw = kw.at[:, gi:gi + 2, :, gi * n:(gi + 1) * n].set(pk)
+    wg = -(-(w + 1) // g)                           # ceil((W+1)/g) groups
+    pad_w = (wg - 1) * g + (g + 1) - (w + 2)        # extra edge cols needed
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)), mode="edge")
+    yw = jax.lax.conv_general_dilated(
+        xp, kw, (1, g), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)             # [B, H+1, wg, g*4*Cout]
+    return yw + jnp.tile(bias, 4 * g).astype(yw.dtype), wg
+
+
 def _wpack_argmax(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   g: int = 6) -> jnp.ndarray:
     """W-packed phase conv + argmax: the roofline fix for the final seg
@@ -175,22 +204,9 @@ def _wpack_argmax(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 
     Returns int32 class ids [B, 2H, 2W], same contract as
     upsample2x_conv3x3_argmax."""
-    b, h, w, cin = x.shape
+    b, h, w, _ = x.shape
     cout = kernel.shape[-1]
-    n = 4 * cout
-    pk = _phase_kernels(kernel)                     # [2, 2, Cin, 4*Cout]
-    # kernel [2, g+1, Cin, g*4*Cout]: block gi gets pk at col offset gi
-    kw = jnp.zeros((2, g + 1, cin, g * n), pk.dtype)
-    for gi in range(g):
-        kw = kw.at[:, gi:gi + 2, :, gi * n:(gi + 1) * n].set(pk)
-    wg = -(-(w + 1) // g)                           # ceil((W+1)/g) groups
-    pad_w = (wg - 1) * g + (g + 1) - (w + 2)        # extra edge cols needed
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)), mode="edge")
-    yw = jax.lax.conv_general_dilated(
-        xp, kw, (1, g), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)             # [B, H+1, wg, g*4*Cout]
-    yw = yw + jnp.tile(bias, 4 * g).astype(yw.dtype)
+    yw, wg = upsample2x_conv3x3_wpack_logits(x, kernel, bias, g)
     # per-(group, phase) argmax at the packed layout, then unpack columns
     a = jnp.argmax(yw.reshape(b, h + 1, wg, g * 4, cout),
                    axis=-1).astype(jnp.int8)        # [B, H+1, wg, g*4]

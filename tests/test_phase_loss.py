@@ -179,3 +179,120 @@ def test_trainer_epoch_with_phase_loss(tmp_path):
     trainer.train_one_epoch(0)
     summary = trainer.valid(0)
     assert "mIoU" in summary and np.isfinite(summary["mIoU"])
+
+
+@pytest.mark.parametrize("g", [3, 6])
+@pytest.mark.parametrize("variant", ["plain", "topk", "focal", "ignore"])
+def test_wpacked_ce_matches_full(variant, g):
+    """W-packed phase CE == full-resolution CE (values AND grads), incl.
+    ragged packed-tail columns (W+1 not divisible by g)."""
+    from hydranet_tpu.heads.segmentation_loss import (
+        cross_entropy_loss_wpacked)
+    from hydranet_tpu.ops.fused_upsample_conv import (
+        upsample2x_conv3x3_wpack_logits)
+
+    rng = np.random.RandomState(4)
+    b, h, w, cin, cout = 3, 9, 13, 6, 4  # W+1 = 14: ragged at g=3 and 6
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    k = jnp.asarray(0.3 * rng.randn(3, 3, cin, cout).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(cout).astype(np.float32))
+    gt = rng.randint(0, cout, (b, 2 * h, 2 * w))
+    if variant == "ignore":
+        gt[rng.rand(*gt.shape) < 0.2] = 255
+    gt = jnp.asarray(gt)
+    weights = [0.2, 1.0, 2.5, 0.7]
+    kw = dict(use_top_k=variant == "topk", top_k_ratio=0.3,
+              use_focal=variant == "focal")
+
+    def full(k, x, bias):
+        logits = upsample2x_reflect_conv3x3(x, k, bias)
+        return cross_entropy_loss(logits, gt, weights, **kw)
+
+    def wpacked(k, x, bias):
+        yw, _ = upsample2x_conv3x3_wpack_logits(x, k, bias, g)
+        return cross_entropy_loss_wpacked(yw, gt, weights, g, **kw)
+
+    lf, gf = jax.value_and_grad(full, argnums=(0, 1, 2))(k, x, bias)
+    lw, gw = jax.value_and_grad(wpacked, argnums=(0, 1, 2))(k, x, bias)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lw),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(gf, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_model_wpack_loss_exactness():
+    """HydraNet with segment.wpack_loss=6: identical variable tree, and
+    train-mode loss + grads match the full-logits model (f32, CPU)."""
+    # top-k off for the grad comparison: the k-th-pixel threshold is a
+    # DISCRETE boundary, and the stride-g conv's different (equally valid)
+    # f32 accumulation order can flip which pixel sits at it — re-routing
+    # a unit of gradient. The standalone test above covers top-k parity;
+    # here we want a continuous loss so grads compare elementwise.
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, use_top_k=False))
+    cfg_w = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, wpack_loss=6))
+    model = HydraNet(cfg=cfg)
+    model_w = HydraNet(cfg=cfg_w)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    vw = model_w.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vw))
+
+    n = (128 // 32) ** 2
+    ppl = 128 // 8
+    batch = {
+        "gt_seg": jnp.asarray(rng.randint(0, 3, (2, 128, 128))),
+        "gt_det": jnp.asarray(np.array([
+            [[10, 10, 50, 60, 1], [70, 70, 100, 110, 2]],
+            [[-1, -1, -1, -1, -1], [-1, -1, -1, -1, -1]],
+        ], dtype=np.float32)),
+        "gt_cls": jnp.asarray(
+            np.eye(2)[rng.randint(0, 2, (2, n))].astype(np.float32)),
+        "gt_loc": jnp.asarray(
+            rng.randn(2, n, 2 * ppl + 2).astype(np.float32)),
+    }
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def make_loss(m):
+        def loss_fn(p):
+            out, _ = m.apply({"params": p, **rest}, x, train=True,
+                             mutable=["batch_stats"])
+            losses = m.compute_losses(out, batch)
+            return m.total_loss(losses)
+        return loss_fn
+
+    lf, gf = jax.value_and_grad(make_loss(model))(params)
+    lw, gw = jax.value_and_grad(make_loss(model_w))(params)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lw),
+                               rtol=1e-5, atol=1e-6)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(gf)
+    flat_w = jax.tree_util.tree_leaves(gw)
+    for (path, a), b_ in zip(flat_f, flat_w):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_model_wpack_loss_with_remat():
+    """wpack_loss composes with segment.remat; eval forward unaffected."""
+    cfg = small_config()
+    cfg_wr = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, wpack_loss=6,
+                                         remat=True))
+    model = HydraNet(cfg=cfg_wr)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "seg_wpack" in out and "seg" not in out
+    wg = -(-(64 + 1) // 6)
+    assert out["seg_wpack"].shape == (2, 65, wg, 6 * 4 * 3)
+    out_eval = model.apply(variables, x, train=False)
+    assert out_eval["seg"].shape == (2, 128, 128, 3)
