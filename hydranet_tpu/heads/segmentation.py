@@ -282,10 +282,15 @@ class SegmentHead(nn.Module):
         # the stages' kernels through their own modules). Default ON since
         # chain v6: 19.11 -> 18.15 ms standalone over the up3+final pair,
         # 1172.9 -> 1175.2 fps e2e (artifacts/bench_phase_tail_r4.log,
-        # bench_phase_tail_pipeline_r4.log). Quant modes keep the modular
-        # path — the params_only pull would bypass the last upconv's int8
+        # bench_phase_tail_pipeline_r4.log). Gated to batch >= 8 like the
+        # wpack default — the measurements are bs128 and the fused
+        # formulations are batch-sensitive (upsample2x_reflect_conv3x3's
+        # own dilated/phase split); the published bs1 latencies keep the
+        # measured path. Quant modes keep the modular path — the
+        # params_only pull would bypass the last upconv's int8
         # calibration sow (see _FusedUpConv3x3).
         phase_tail = (emit_argmax and not emit_phase
+                      and input_features[-1].shape[0] >= 8
                       and qz.current_mode() == "off"
                       and os.environ.get("HN_SEG_PHASE_TAIL", "1") == "1")
 

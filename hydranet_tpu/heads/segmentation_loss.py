@@ -159,6 +159,42 @@ def cross_entropy_loss_phases(
                       use_top_k, top_k_ratio, use_focal)
 
 
+def _pack_phase_gt(target: jnp.ndarray, ignore_index: int) -> jnp.ndarray:
+    """[B, 2H, 2W] int gt -> [B, H+1, W+1, 4] phase-major packed gt (the
+    layout of `upsample2x_conv3x3_phase_logits`): phase (di, dj) cell
+    (r, c) IS full-res pixel (2r-di, 2c-dj); border cells no full-res
+    pixel maps to get ignore_index. Int-only strided slices + pads — the
+    cheap, gradient-free direction. Shared by the phase-packed and
+    w-packed CEs."""
+    target = target.astype(jnp.int32)
+    gts = []
+    for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        g = target[:, di::2, dj::2]  # [B, H, W] — exact phase view of gt
+        gts.append(jnp.pad(g, ((0, 0), (di, 1 - di), (dj, 1 - dj)),
+                           constant_values=ignore_index))
+    return jnp.stack(gts, axis=-1)
+
+
+def _packed_ce_reduce(per: jnp.ndarray, gtp: jnp.ndarray, b: int,
+                      n_true: int, ignore_index: int,
+                      use_top_k: bool, top_k_ratio: float,
+                      use_focal: bool) -> jnp.ndarray:
+    """Shared reduction tail of the packed CEs: per-cell values over a
+    layout with extra non-pixel cells (phase borders, ragged packed
+    tails) that carry gt = ignore_index. The focal branch of
+    `_ce_per_pixel` has no ignore handling (the reference's doesn't
+    either), so those cells are zeroed explicitly; zeros are exact
+    no-ops in both the true-pixel-count mean and the top-k boundary sum
+    (tied-at-zero entries contribute s_eq = 0)."""
+    if use_focal:
+        per = per * (gtp != ignore_index).astype(per.dtype)
+    per = per.reshape(b, -1)
+    if use_top_k and not use_focal:
+        k = max(int(top_k_ratio * n_true), 1)
+        return jnp.mean(_topk_sum_bitsearch(per, k) / k)
+    return jnp.sum(per) / (b * n_true)
+
+
 def cross_entropy_loss_phase_packed(
     z: jnp.ndarray,  # [B, H+1, W+1, 4*C] phase logits
     target: jnp.ndarray,  # [B, 2H, 2W] int — FULL-resolution gt
@@ -192,37 +228,19 @@ def cross_entropy_loss_phase_packed(
 
     The border cells of z that no full-res pixel maps to (phase (0,*)
     row H, phase (1,*) row 0, ditto columns) get gt = ignore_index so
-    `_ce_per_pixel` zeroes them; zeros are exact no-ops in both the mean
-    (true-pixel denominator used below) and the top-k boundary sum
-    (tied-at-zero entries contribute s_eq = 0)."""
+    `_ce_per_pixel` zeroes them; see `_packed_ce_reduce` for why the
+    extra cells are exact no-ops in every reduction."""
     b, hp, wp, c4 = z.shape
     c = c4 // 4
     h, w = hp - 1, wp - 1
     weights = jnp.asarray(class_weights, dtype=z.dtype)
-    target = target.astype(jnp.int32)
-
-    gts = []
-    for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        g = target[:, di::2, dj::2]  # [B, H, W] — exact phase view of gt
-        gts.append(jnp.pad(g, ((0, 0), (di, 1 - di), (dj, 1 - dj)),
-                           constant_values=ignore_index))
-    gtp = jnp.stack(gts, axis=-1)  # [B, H+1, W+1, 4]
+    gtp = _pack_phase_gt(target, ignore_index)  # [B, H+1, W+1, 4]
 
     z5 = z.reshape(b, hp, wp, 4, c)
     per = _ce_per_pixel(z5, gtp, weights, ignore_index, use_focal,
                         gamma, alpha)  # [B, H+1, W+1, 4]
-    if use_focal:
-        # the focal branch of _ce_per_pixel has no ignore handling (the
-        # reference's doesn't either); zero the border cells explicitly
-        per = per * (gtp != ignore_index).astype(per.dtype)
-
-    n_true = 4 * h * w
-    per = per.reshape(b, -1)
-    if use_top_k and not use_focal:
-        k = max(int(top_k_ratio * n_true), 1)
-        return jnp.mean(_topk_sum_bitsearch(per, k) / k)
-    # plain mean over the TRUE pixel count (padded border cells are 0)
-    return jnp.sum(per) / (b * n_true)
+    return _packed_ce_reduce(per, gtp, b, 4 * h * w, ignore_index,
+                             use_top_k, top_k_ratio, use_focal)
 
 
 def cross_entropy_loss_wpacked(
@@ -254,20 +272,12 @@ def cross_entropy_loss_wpacked(
 
     Cells that map to no true pixel — the phase borders (as in
     phase_packed) and the ragged packed-tail columns past W — get gt =
-    ignore_index, so `_ce_per_pixel` zeroes them; the mean divides by the
-    true pixel count and top-k's tied-at-zero boundary sum is exact."""
+    ignore_index; see `_packed_ce_reduce`."""
     b, hp, wg, c4g = yw.shape
     c = c4g // (4 * g)
     h, w = hp - 1, target.shape[2] // 2
     weights = jnp.asarray(class_weights, dtype=yw.dtype)
-    target = target.astype(jnp.int32)
-
-    gts = []
-    for di, dj in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        gt = target[:, di::2, dj::2]  # [B, H, W] — exact phase view
-        gts.append(jnp.pad(gt, ((0, 0), (di, 1 - di), (dj, 1 - dj)),
-                           constant_values=ignore_index))
-    gtp = jnp.stack(gts, axis=-1)  # [B, H+1, W+1, 4]
+    gtp = _pack_phase_gt(target, ignore_index)  # [B, H+1, W+1, 4]
     # pack columns exactly like the logits: col w = wgi*g + gi, ragged
     # tail gets ignore_index
     gtp = jnp.pad(gtp, ((0, 0), (0, 0), (0, wg * g - (w + 1)), (0, 0)),
@@ -277,17 +287,8 @@ def cross_entropy_loss_wpacked(
     z5 = yw.reshape(b, hp, wg, g * 4, c)
     per = _ce_per_pixel(z5, gtp, weights, ignore_index, use_focal,
                         gamma, alpha)  # [B, H+1, WG, g*4]
-    if use_focal:
-        # the focal branch of _ce_per_pixel has no ignore handling (the
-        # reference's doesn't either); zero the non-pixel cells explicitly
-        per = per * (gtp != ignore_index).astype(per.dtype)
-
-    n_true = 4 * h * w
-    per = per.reshape(b, -1)
-    if use_top_k and not use_focal:
-        k = max(int(top_k_ratio * n_true), 1)
-        return jnp.mean(_topk_sum_bitsearch(per, k) / k)
-    return jnp.sum(per) / (b * n_true)
+    return _packed_ce_reduce(per, gtp, b, 4 * h * w, ignore_index,
+                             use_top_k, top_k_ratio, use_focal)
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -387,19 +388,32 @@ def lovasz_softmax_binned(
     Why histograms instead of the sort: TPU sorts over multi-million
     element axes are row-serial (measured in NOTES.md — this is the
     repo's no-big-sorts rule), while the histograms here are three
-    one-hot contractions [S, N] @ [N, 3S] with bins = S*S — MXU work
-    that runs in a few ms at training shapes where `jnp.argsort` costs
-    hundreds. Gradients flow through the err-sum histogram only (the
-    bucket assignment and Jaccard weights are stop-gradient, exactly
-    like torch's detached `perm`/`grad`)."""
+    one-hot contractions [S, CH] @ [CH, 3S] with bins = S*S — MXU work.
+    The pixel axis is processed in `chunk`-row pieces by a lax.scan for
+    two reasons: (a) the [CH, 3S] f32 dot operand stays bounded
+    (~0.4 GB at the default 2^20 instead of ~20 GB for all of bs128 in
+    one piece), and (b) per-chunk bucket counts stay below 2^24, so the
+    f32 accumulator never hits the x+1 == x integer-saturation wall
+    (cross-chunk adds of similar-magnitude partials carry ~1e-7 relative
+    error, harmless in the Jaccard ratios). Classes run sequentially
+    (lax.map) so only one class's operands are live. Cost is HBM-bound
+    on the operand build: ~2 GB of traffic per 13M pixels per class —
+    tens of ms for the whole loss at training shapes, vs hundreds of ms
+    PER CLASS for the sort. Gradients flow through the err-sum histogram
+    only (the bucket assignment and Jaccard weights are stop-gradient,
+    exactly like torch's detached `perm`/`grad`)."""
     b, h, w, c = probas.shape
     s = int(np.sqrt(bins))
     assert s * s == bins, "bins must be a perfect square (one-hot split)"
     p = probas.astype(jnp.float32).reshape(-1, c)
     y = labels.reshape(-1).astype(jnp.int32)
+    n = p.shape[0]
     valid = (y != ignore) if ignore is not None else jnp.ones_like(y, bool)
     validf = valid.astype(jnp.float32)
     arange_s = jnp.arange(s, dtype=jnp.int32)
+    ch = min(1 << 20, n)
+    nc = -(-n // ch)
+    pad = nc * ch - n
 
     def class_loss(ci):
         fg = (y == ci).astype(jnp.float32) * validf
@@ -411,14 +425,24 @@ def lovasz_softmax_binned(
         # vanishes with their error.
         idx = jnp.clip(((1.0 - jax.lax.stop_gradient(err)) * bins)
                        .astype(jnp.int32), 0, bins - 1)
-        oh_hi = ((idx // s)[:, None] == arange_s).astype(jnp.float32)
-        oh_lo = ((idx % s)[:, None] == arange_s).astype(jnp.float32)
         wts = jnp.stack(
             [jnp.ones_like(err), fg, err], axis=-1)  # [N, 3]
-        m = (oh_lo[:, :, None] * wts[:, None, :]).reshape(-1, 3 * s)
-        hist = jax.lax.dot_general(
-            oh_hi, m, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [S, 3S]
+        # chunk the pixel axis; padded rows carry zero weights so their
+        # bucket assignment is irrelevant
+        idx_c = jnp.pad(idx, (0, pad)).reshape(nc, ch)
+        wts_c = jnp.pad(wts, ((0, pad), (0, 0))).reshape(nc, ch, 3)
+
+        def body(acc, xs):
+            ic, wc = xs
+            oh_hi = ((ic // s)[:, None] == arange_s).astype(jnp.float32)
+            oh_lo = ((ic % s)[:, None] == arange_s).astype(jnp.float32)
+            m = (oh_lo[:, :, None] * wc[:, None, :]).reshape(ch, 3 * s)
+            return acc + jax.lax.dot_general(
+                oh_hi, m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), None
+
+        hist, _ = jax.lax.scan(body, jnp.zeros((s, 3 * s), jnp.float32),
+                               (idx_c, wts_c))
         hist = hist.reshape(s, s, 3).reshape(bins, 3)
         cnt, fgs, errs = hist[:, 0], hist[:, 1], hist[:, 2]
         cum_n = jnp.cumsum(cnt)
@@ -434,7 +458,7 @@ def lovasz_softmax_binned(
         present = gts > 0
         return loss_c, present
 
-    losses, present = jax.vmap(class_loss)(jnp.arange(c))
+    losses, present = jax.lax.map(class_loss, jnp.arange(c))
     presentf = present.astype(jnp.float32)
     return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import os
 import sys
+import time
 
 # persistent XLA compile cache: first compile of the big pipeline is
 # minutes through the remote-TPU tunnel; later invocations (and the other
@@ -124,10 +125,23 @@ def stage_rows(model, state, batch, tx):
                  state.params, state.batch_stats, batch)
     t_fb = timed("  forward + losses + backward", fwd_loss_bwd,
                  state.params, state.batch_stats, batch)
-    step = make_train_step(model, tx, donate=False)
+    # the full step must DONATE like the shipped trainer: the non-donating
+    # variant holds two full states + grads simultaneously and OOMs at
+    # bs128 (chain v6 step 7). Donation invalidates the input state, so
+    # time a threaded chain instead of repeated same-args dispatches.
+    step = make_train_step(model, tx, donate=True)
     mask = all_trainable(state.params)
-    t_full = timed("  full step (+ masked Adam)",
-                   lambda s, b, m: step(s, b, m), state, batch, mask)
+    state, losses = step(state, batch, mask)  # compile
+    _ = float(losses["total_loss"])
+    state, losses = step(state, batch, mask)
+    _ = float(losses["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, losses = step(state, batch, mask)
+    _ = float(losses["total_loss"])  # sync
+    t_full = (time.perf_counter() - t0) / ITERS * 1000
+    print(f"{'  full step (+ masked Adam, donated)':44s} {t_full:8.2f} ms",
+          flush=True)
     return t_f, t_fl, t_fb, t_full
 
 

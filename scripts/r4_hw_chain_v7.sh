@@ -5,6 +5,7 @@
 # before the SEG fine-tuning phase (epochs 22-23 of 24), and records a
 # fresh default headline. Stop early with: touch /tmp/stop_chain
 set -u
+set -o pipefail  # '--- exit ---' lines record timeout/python, not tee/tail
 cd "$(dirname "$0")/.."
 echo "=== chain v7 queued $(date -u +%H:%M:%S), waiting for v6 ==="
 
@@ -24,6 +25,16 @@ guard() {
     exit 0
   fi
   echo "--- $1 $(date -u +%H:%M:%S) ---"
+}
+
+latest_ckpt() {
+  python - <<'EOF'
+import glob, os
+cands = []
+for d in glob.glob("artifacts/convergence_logs/*/model/epoch_*"):
+    cands.append((os.path.getmtime(d), int(d.rsplit("_", 1)[1]), d))
+print(max(cands)[2] if cands else "")
+EOF
 }
 
 guard "[1/5] bench_train wpack CE g=6 (bs128 remat defaults)"
@@ -50,22 +61,17 @@ except FileNotFoundError:
 print(last)
 EOF
 )
-if [ "$LAST_EPOCH" -lt 23 ] && [ "$LAST_EPOCH" -ge 10 ]; then
-  guard "[3/5] resume convergence (last epoch $LAST_EPOCH < 23) to finish the SEG phase"
+RESUME=$(latest_ckpt)
+if [ "$LAST_EPOCH" -lt 23 ] && [ "$LAST_EPOCH" -ge 10 ] && [ -n "$RESUME" ]; then
+  guard "[3/5] resume convergence from $RESUME (last jsonl epoch $LAST_EPOCH < 23) to finish the SEG phase"
   timeout 5400 python scripts/train_convergence.py --epochs 24 --fine-tuning \
+    --resume "$RESUME" \
     --out artifacts/convergence_metrics_r4.jsonl \
     2>&1 | tee -a artifacts/train_convergence_r4.log \
     | grep -E "EPOCH SUMMARY|TRAINING|resumed|retry|done"
   echo "--- exit: $? $(date -u +%H:%M:%S) ---"
 
-  CKPT=$(python - <<'EOF'
-import glob, os
-cands = []
-for d in glob.glob("artifacts/convergence_logs/*/model/epoch_*"):
-    cands.append((os.path.getmtime(d), int(d.rsplit("_", 1)[1]), d))
-print(max(cands)[2] if cands else "")
-EOF
-)
+  CKPT=$(latest_ckpt)
   guard "[4/5] bench.py trained ckpt after full fine-tuning ($CKPT)"
   if [ -n "$CKPT" ]; then
     HN_CONFIG=configs/hydranet_convergence_procedural.yml HN_CKPT="$CKPT" \

@@ -162,15 +162,16 @@ def test_phase_tail_argmax_matches_reference():
 
 
 def test_segment_head_phase_tail_knob(monkeypatch):
-    """HN_SEG_PHASE_TAIL=1: same param tree, same class ids, logits path
-    untouched."""
+    """Phase tail (default ON at batch >= 8): same param tree, same class
+    ids as the modular HN_SEG_PHASE_TAIL=0 path."""
     from hydranet_tpu.heads.segmentation import SegmentHead
 
     rng = np.random.RandomState(1)
     enc, dec = (24, 16, 16, 16), (8, 12, 16, 24)
-    feats = [jnp.asarray(rng.randn(2, s, s, c).astype(np.float32))
+    feats = [jnp.asarray(rng.randn(8, s, s, c).astype(np.float32))
              for s, c in zip((32, 16, 8, 4), enc)]
     seg = SegmentHead(num_ch_enc=enc, num_ch_dec=dec, num_output_channels=5)
+    monkeypatch.setenv("HN_SEG_PHASE_TAIL", "0")
     v = seg.init(jax.random.PRNGKey(0), feats, emit_argmax=True)
     ref = np.asarray(seg.apply(v, feats, emit_argmax=True))
     monkeypatch.setenv("HN_SEG_PHASE_TAIL", "1")
