@@ -384,9 +384,11 @@ def certified_block_topk(scores: jnp.ndarray, k: int,
     the exact top-k on the nb*m union. Downstream consumers discard entries
     with score <= score_threshold, so the result is exact whenever every
     block holds <= m above-threshold entries — verified on device by a
-    one-scalar certificate; a `lax.cond` falls back to the full `lax.top_k`
-    when it fails (pathological densities only: the strided partition keeps
-    per-block counts near count/nb even for contiguous clumps).
+    one-scalar certificate. The certificate is TIERED: when the cheap
+    m = max_per_block tier fails (realistic trained-model score densities,
+    not just pathologies — see the HN_SCORE_BIAS stress cell), a 4x-capacity
+    tier runs before surrendering to the full `lax.top_k`, so the cost
+    curve degrades gradually instead of cliffing onto the 17.8 ms sort.
 
     A final two-key sort restores `top_k`'s tie-breaking (equal scores ->
     lower anchor index first) within the selected set; the one remaining
@@ -407,26 +409,32 @@ def certified_block_topk(scores: jnp.ndarray, k: int,
     # and a bf16 score equal to bf16(threshold) can still be above the f32
     # threshold — counting in the score dtype could undercount those and
     # certify a selection that dropped a downstream-valid anchor.
-    cnt = jnp.sum(blocks.astype(jnp.float32) > score_threshold, axis=-1)
-    cert_ok = jnp.max(cnt) <= max_per_block
+    cnt = jnp.max(jnp.sum(blocks.astype(jnp.float32) > score_threshold,
+                          axis=-1))
 
-    def fast(_):
-        bv, bi = jax.lax.top_k(blocks, max_per_block)      # [B, nb, m]
-        # original index of (block j, in-block slot s) is s*nb + j
-        j_ids = jnp.arange(nb)[None, :, None]
-        union_v = bv.reshape(b, nb * max_per_block)
-        union_i = (bi * nb + j_ids).reshape(b, nb * max_per_block)
-        v, j = jax.lax.top_k(union_v, k)
-        i = jnp.take_along_axis(union_i, j, axis=1)
-        # restore tie-break-by-ascending-index among the selected
-        v, i = jax.lax.sort((-v, i), num_keys=2)
-        return -v, i
+    def fast(m):
+        def body(_):
+            bv, bi = jax.lax.top_k(blocks, m)              # [B, nb, m]
+            # original index of (block j, in-block slot s) is s*nb + j
+            j_ids = jnp.arange(nb)[None, :, None]
+            union_v = bv.reshape(b, nb * m)
+            union_i = (bi * nb + j_ids).reshape(b, nb * m)
+            v, j = jax.lax.top_k(union_v, k)
+            i = jnp.take_along_axis(union_i, j, axis=1)
+            # restore tie-break-by-ascending-index among the selected
+            v, i = jax.lax.sort((-v, i), num_keys=2)
+            return -v, i
+        return body
 
     def slow(_):
         v, i = jax.lax.top_k(scores, k)
         return v, i
 
-    return jax.lax.cond(cert_ok, fast, slow, None)
+    m2 = min(4 * max_per_block, block_size)
+    tier2 = (slow if nb * m2 < k  # tiny-A configs: tier 2 can't cover k
+             else lambda _: jax.lax.cond(cnt <= m2, fast(m2), slow, None))
+    return jax.lax.cond(cnt <= max_per_block, fast(max_per_block),
+                        tier2, None)
 
 
 def postprocess(

@@ -174,10 +174,15 @@ def test_certified_block_topk_exact():
     check(jnp.asarray(clumped))
 
     dense = base.copy()                            # one block > max_per_block
-    nb = -(-a // 512)
+    nb = -(-a // 512)                              # -> tier-2 (m=128) path
     hot_idx = np.arange(64) * nb + 3               # all in strided block 3
     dense[0, hot_idx] = 0.45 + 0.5 * rng.rand(64)
     check(jnp.asarray(dense))
+
+    denser = base.copy()                           # one block > 4x tier ->
+    hot_idx = np.arange(200) * nb + 5              # full lax.top_k fallback
+    denser[1, hot_idx] = 0.45 + 0.5 * rng.rand(200)
+    check(jnp.asarray(denser))
 
     small = (rng.rand(2, 800).astype(np.float32))  # a <= 4k: plain top_k path
     check(jnp.asarray(small))
