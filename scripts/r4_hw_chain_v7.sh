@@ -37,14 +37,19 @@ print(max(cands)[2] if cands else "")
 EOF
 }
 
-guard "[1/5] bench_train wpack CE g=6 (bs128 remat defaults)"
+guard "[1/6] bench_train wpack CE g=6 (bs128 remat defaults)"
 HN_WPACK_LOSS=6 timeout 4000 python bench_train.py 2>&1 \
   | tee artifacts/bench_train_wpack_r4.log | tail -2
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
 
-guard "[2/5] bench_train control (same conditions)"
+guard "[2/6] bench_train control (same conditions)"
 timeout 4000 python bench_train.py 2>&1 \
   | tee artifacts/bench_train_control_r4.log | tail -2
+echo "--- exit: $? $(date -u +%H:%M:%S) ---"
+
+guard "[3/6] bench.py score-density stress with the TIERED certificate (vs 929.61)"
+HN_SCORE_BIAS=-0.35 timeout 1800 python bench.py 2>&1 \
+  | tee artifacts/bench_scorebias_tiered_r4.log | tail -2
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
 
 LAST_EPOCH=$(python - <<'EOF'
@@ -63,7 +68,7 @@ EOF
 )
 RESUME=$(latest_ckpt)
 if [ "$LAST_EPOCH" -lt 23 ] && [ "$LAST_EPOCH" -ge 10 ] && [ -n "$RESUME" ]; then
-  guard "[3/5] resume convergence from $RESUME (last jsonl epoch $LAST_EPOCH < 23) to finish the SEG phase"
+  guard "[4/6] resume convergence from $RESUME (last jsonl epoch $LAST_EPOCH < 23) to finish the SEG phase"
   timeout 5400 python scripts/train_convergence.py --epochs 24 --fine-tuning \
     --resume "$RESUME" \
     --out artifacts/convergence_metrics_r4.jsonl \
@@ -72,7 +77,7 @@ if [ "$LAST_EPOCH" -lt 23 ] && [ "$LAST_EPOCH" -ge 10 ] && [ -n "$RESUME" ]; the
   echo "--- exit: $? $(date -u +%H:%M:%S) ---"
 
   CKPT=$(latest_ckpt)
-  guard "[4/5] bench.py trained ckpt after full fine-tuning ($CKPT)"
+  guard "[5/6] bench.py trained ckpt after full fine-tuning ($CKPT)"
   if [ -n "$CKPT" ]; then
     HN_CONFIG=configs/hydranet_convergence_procedural.yml HN_CKPT="$CKPT" \
       timeout 1800 python bench.py 2>&1 | tee artifacts/bench_ckpt_r4b.log | tail -2
@@ -80,7 +85,7 @@ if [ "$LAST_EPOCH" -lt 23 ] && [ "$LAST_EPOCH" -ge 10 ] && [ -n "$RESUME" ]; the
   echo "--- exit: $? $(date -u +%H:%M:%S) ---"
 fi
 
-guard "[5/5] bench.py fresh defaults (wpack + phase tail on)"
+guard "[6/6] bench.py fresh defaults (wpack + phase tail on)"
 timeout 1800 python bench.py 2>&1 \
   | tee artifacts/bench_defaults_r4s2.log | tail -2
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
