@@ -108,7 +108,10 @@ def main():
                           "batch_ms": round(ms, 2)}))
 
     # config 5: train step, via the standalone script (separate process so
-    # its HBM is released before/after).
+    # its HBM is released before/after). BENCH_SKIP_TRAIN=1 skips it when
+    # a chain benches the train step separately.
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") == "1":
+        return
     out = subprocess.run([sys.executable,
                           os.path.join(repo, "bench_train.py")],
                          capture_output=True, text=True)
