@@ -26,6 +26,11 @@ rm -f /tmp/stop_chain
 echo "=== chain v10 start $(date -u +%H:%M:%S) ==="
 
 guard() {
+  # settle delay: a back-to-back step start can race the previous
+  # process's relay-claim release and wedge on a dead RPC (v9 step 4
+  # did exactly that — 30 min at zero CPU, exit 124). Claims expire in
+  # ~1-2 min; waiting 90 s between steps is cheap insurance.
+  sleep 90
   if [ -f /tmp/stop_chain ]; then
     echo "=== stop_chain seen, aborting before: $1 ==="
     exit 0
