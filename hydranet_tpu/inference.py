@@ -207,6 +207,13 @@ class InferencePipeline:
             self._run = jax.jit(run, in_shardings=(repl, data),
                                 out_shardings=out)
         else:
+            # Pin the weights on-device ONCE. A restored checkpoint (orbax)
+            # arrives as host numpy arrays; without this, every dispatch
+            # re-uploads the full parameter set H2D (on this harness's
+            # remote tunnel that is ~2.5 s/batch — a 20x slowdown measured
+            # in artifacts/bench_ckpt_r4.log before the fix). Device arrays
+            # pass through device_put as a no-op.
+            self.variables = jax.device_put(self.variables)
             self._run = jax.jit(run)
 
     def calibrate(self, frame_batches,

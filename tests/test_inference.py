@@ -37,6 +37,24 @@ def test_pipeline_end_to_end(pipe):
     assert len(vis) == 2 and vis[0].shape == (96, 160, 3)
 
 
+def test_host_numpy_weights_are_pinned_on_device(pipe):
+    # Regression for the 20x trained-checkpoint slowdown
+    # (artifacts/bench_ckpt_r4.log): an orbax restore hands back HOST numpy
+    # arrays; the pipeline must device_put them once at construction or
+    # every dispatch re-uploads the full parameter set.
+    cfg, p = pipe
+    host_vars = jax.tree.map(np.asarray, p.variables)
+    p2 = InferencePipeline(cfg, host_vars, batch_size=2,
+                           input_hw=(96, 160), compute_dtype=jnp.float32)
+    leaves = jax.tree.leaves(p2.variables)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+    frames = np.random.RandomState(1).randint(0, 255, (2, 96, 160, 3),
+                                              np.uint8)
+    a, b = p(frames), p2(frames)
+    np.testing.assert_array_equal(np.asarray(a["seg"]),
+                                  np.asarray(b["seg"]))
+
+
 def test_export_reload_roundtrip(tmp_path, pipe):
     cfg, p = pipe
     path = os.path.join(str(tmp_path), "pipe.stablehlo")
