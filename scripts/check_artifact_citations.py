@@ -15,9 +15,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = ["README.md", "NOTES.md", "PARITY.md", "deploy/README.md",
         "docs/DESIGN.md", "docs/KNOBS.md"]
-# historical logs whose loss is annotated in NOTES.md (round-4 session 3):
-# numbers stand as recorded; the logs were deleted by VM restarts after
-# the docs cited them
+# historical logs whose loss is annotated in NOTES.md (round-4 sessions
+# 3-4): numbers stand as recorded; the logs were deleted by VM restarts
+# after the docs cited them
 WAIVED = {
     "artifacts/archive/",
     "artifacts/bench_backward_r3.log",
@@ -25,6 +25,10 @@ WAIVED = {
     "artifacts/r3_hw_chain_v3.log",
     "artifacts/r3_hw_chain_v8.log",
     "artifacts/r3_post_cache_proof.log",
+    # Aug-20 restore (round-4 session 4); chain-v9 step outcomes are
+    # recorded in NOTES session-3; the rest are re-produced by chain v12
+    # and drop out of this set as they land
+    "artifacts/r4_hw_chain_v9.log",
 }
 
 

@@ -61,6 +61,11 @@ def main():
                     default="configs/hydranet_convergence_procedural.yml")
     ap.add_argument("--resume", default="",
                     help="orbax checkpoint dir (epoch_N) to resume from")
+    ap.add_argument("--auto-resume", action="store_true",
+                    help="resume from the newest epoch_N checkpoint under "
+                         "the config's logs dir if one exists (restart-safe "
+                         "chain steps: a killed run continues, a fresh tree "
+                         "starts from scratch)")
     ap.add_argument("--fine-tuning", action="store_true",
                     help="exercise the alternating joint -> per-head "
                          "fine-tuning schedule (reference train.py:441-515): "
@@ -94,7 +99,13 @@ def main():
             d["train"]["resume_from"] = resume
         return HydraTrainer(Config.from_dict(d), cfg_path=args.config)
 
-    trainer = build_trainer(args.resume)
+    resume = args.resume
+    if args.auto_resume and not resume:
+        from hydranet_tpu.config import load_config as _lc
+        resume = latest_checkpoint(_lc(args.config).train.logs)
+        if resume:
+            print(f"auto-resume from {resume}", flush=True)
+    trainer = build_trainer(resume)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     t0 = time.time()
     epoch, retries = trainer.start_epoch, 0
