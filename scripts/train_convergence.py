@@ -16,6 +16,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,16 +37,33 @@ def latest_checkpoint(logs_dir: str) -> str:
     direct layout alone missed every real checkpoint: auto-resume would
     silently restart from scratch and the hardware chain's demo/PTQ steps
     would run with random init. Newest run wins (mtime), then highest
-    epoch. Returns '' when nothing is saved yet."""
+    epoch. Returns '' when nothing is saved yet.
+
+    Only exactly-'epoch_<int>' names count, and only if the dir holds a
+    committed orbax manifest: a kill landing mid-save leaves an
+    'epoch_N.orbax-checkpoint-tmp-*' dir (and a manifest-less epoch_N),
+    which the old startswith/int() parse either crashed on or — worse —
+    picked as newest so the restore failed. That is exactly the
+    deadline-kill scenario --auto-resume exists to survive (ADVICE r4)."""
     cands = []
     for model_dir in [os.path.join(logs_dir, "model")] + \
             glob.glob(os.path.join(logs_dir, "*", "model")):
         if not os.path.isdir(model_dir):
             continue
         for n in os.listdir(model_dir):
-            if n.startswith("epoch_"):
-                p = os.path.join(model_dir, n)
-                cands.append((os.path.getmtime(p), int(n.split("_")[1]), p))
+            if not re.fullmatch(r"epoch_\d+", n):
+                continue
+            p = os.path.join(model_dir, n)
+            # orbax StandardCheckpointer writes the metadata file last
+            # (atomic-rename commit protocol); its absence marks a partial
+            committed = (
+                os.path.exists(os.path.join(p, "_CHECKPOINT_METADATA"))
+                or os.path.exists(os.path.join(p, "checkpoint"))
+                or glob.glob(os.path.join(p, "*", "manifest.ocdbt"))
+                or glob.glob(os.path.join(p, "manifest.ocdbt")))
+            if not committed:
+                continue
+            cands.append((os.path.getmtime(p), int(n.split("_")[1]), p))
     return max(cands)[2] if cands else ""
 
 
