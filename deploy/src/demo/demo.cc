@@ -30,8 +30,9 @@ void PrintStages(const HN_Output& out) {
          out.preprocess_ms, out.run_ms, out.postprocess_ms,
          out.num_detections, out.num_lanes);
   if (out.h2d_ms > 0 || out.exec_ms > 0) {
-    printf("    run = h2d %.2f + execute %.2f + d2h %.2f ms\n", out.h2d_ms,
-           out.exec_ms, out.d2h_ms);
+    printf("    run = h2d %.2f + execute %.2f + d2h %.2f ms"
+           " (+ %.2f ms fence round trip, measurement-only)\n",
+           out.h2d_ms, out.exec_ms, out.d2h_ms, out.rtt_ms);
   }
 }
 

@@ -50,6 +50,7 @@ void FillOutput(Handle* h, const hydranet::OutputInfo& info,
   output->h2d_ms = info.h2d_ms;
   output->exec_ms = info.exec_ms;
   output->d2h_ms = info.d2h_ms;
+  output->rtt_ms = info.rtt_ms;
 }
 
 }  // namespace

@@ -48,8 +48,12 @@ typedef struct {
   int seg_width;
   double preprocess_ms, run_ms, postprocess_ms;
   // run_ms decomposition (batched path, frame 0 only): host->device input
-  // transfer / device execute / device->host output fetch
-  double h2d_ms, exec_ms, d2h_ms;
+  // transfer / device execute (fenced by a digest fetch of the smallest
+  // output — transport completion events fire at enqueue on tunneled
+  // PJRT transports) / device->host output fetch. rtt_ms is the measured
+  // per-call tunnel round trip the fence itself pays (measurement
+  // overhead, subtracted from exec_ms, never paid by production paths).
+  double h2d_ms, exec_ms, d2h_ms, rtt_ms;
 } HN_Output;
 
 // Returns 0 on success. artifact_dir: directory produced by

@@ -187,6 +187,7 @@ bool HydranetModel::DetectBatch(const std::vector<cv::Mat>& inputs,
   last_h2d_ms_ = timing.h2d_ms;
   last_exec_ms_ = timing.exec_ms;
   last_d2h_ms_ = timing.d2h_ms;
+  last_rtt_ms_ = timing.rtt_ms;
 
   outs->clear();
   outs->resize(in_b_);
@@ -202,6 +203,7 @@ bool HydranetModel::DetectBatch(const std::vector<cv::Mat>& inputs,
   (*outs)[0].h2d_ms = timing.h2d_ms;
   (*outs)[0].exec_ms = timing.exec_ms;
   (*outs)[0].d2h_ms = timing.d2h_ms;
+  (*outs)[0].rtt_ms = timing.rtt_ms;
   return true;
 }
 
@@ -368,7 +370,18 @@ void HydranetModel::LaneSegConsistencyFilter(OutputInfo* out,
     cv::bitwise_and(raster, marking, overlap);
     double lane_px = cv::countNonZero(raster);
     double hit_px = cv::countNonZero(overlap);
-    if (lane_px > 0 && hit_px / lane_px > 0.01) kept.push_back(lane);
+    double ratio = lane_px > 0 ? hit_px / lane_px : 0.0;
+    if (ratio > 0.01) kept.push_back(lane);
+    if (std::getenv("HN_DEPLOY_VERBOSE") != nullptr) {
+      fprintf(stderr,
+              "lane_filter: score %.3f overlap %.3f (%0.f/%0.f px) -> %s\n",
+              lane.score, ratio, hit_px, lane_px,
+              ratio > 0.01 ? "KEEP" : "DROP");
+    }
+  }
+  if (std::getenv("HN_DEPLOY_VERBOSE") != nullptr) {
+    fprintf(stderr, "lane_filter: %zu -> %zu lanes\n", out->lanes.size(),
+            kept.size());
   }
   out->lanes.swap(kept);
 }

@@ -46,7 +46,7 @@ struct OutputInfo {
   double preprocess_ms = 0, run_ms = 0, postprocess_ms = 0;
   // run_ms decomposition (filled by DetectBatch on frame 0): host->device
   // input transfer, device execute, device->host output fetch
-  double h2d_ms = 0, exec_ms = 0, d2h_ms = 0;
+  double h2d_ms = 0, exec_ms = 0, d2h_ms = 0, rtt_ms = 0;
 };
 
 class HydranetModel {
@@ -72,6 +72,7 @@ class HydranetModel {
   double last_h2d_ms() const { return last_h2d_ms_; }
   double last_exec_ms() const { return last_exec_ms_; }
   double last_d2h_ms() const { return last_d2h_ms_; }
+  double last_rtt_ms() const { return last_rtt_ms_; }
   int batch_size() const { return in_b_; }
 
   // Pipelined serving with double-buffered H2D: stages frame k+1 (resize +
@@ -116,7 +117,8 @@ class HydranetModel {
   cv::Mat prev_frame_;
   cv::Size prev_size_;
   double prev_pre_ms_ = 0;
-  double last_h2d_ms_ = 0, last_exec_ms_ = 0, last_d2h_ms_ = 0;
+  double last_h2d_ms_ = 0, last_exec_ms_ = 0, last_d2h_ms_ = 0,
+      last_rtt_ms_ = 0;
 };
 
 }  // namespace hydranet

@@ -78,14 +78,22 @@ class PjrtRuntime {
                std::vector<HostBuffer>* outputs, std::string* error);
 
   // Stage-decomposed latency of one execution: host->device transfer
-  // (awaits the input buffer's ready event), device execute (awaits the
-  // device-complete event), device->host output fetch. Serializes the
-  // stages it times — use Execute/the staged path for production serving
-  // and this for attribution (the reference prints per-stage chrono
-  // timers, hydranet_model.cpp:356-364; this adds the transfer/compute
-  // split the wall clock alone cannot see).
+  // (awaits the input buffer's ready event), device execute, device->host
+  // output fetch. Serializes the stages it times — use Execute/the staged
+  // path for production serving and this for attribution (the reference
+  // prints per-stage chrono timers, hydranet_model.cpp:356-364; this adds
+  // the transfer/compute split the wall clock alone cannot see).
+  //
+  // exec_ms is fenced by a digest fetch of the smallest output, NOT by the
+  // device-complete event: on tunneled transports that event completes at
+  // enqueue (the r4 bs16 artifact recorded "execute 0.05 ms" for a batch
+  // that takes ~17 ms of device time). The fence pays one tunnel round
+  // trip, which is measured per call by re-fetching the already-resident
+  // buffer and subtracted; the measured round trip is reported in rtt_ms.
+  // h2d + exec + rtt + d2h therefore ~= the timed wall clock, with rtt
+  // being measurement overhead that production paths never pay.
   struct ExecTiming {
-    double h2d_ms = 0, exec_ms = 0, d2h_ms = 0;
+    double h2d_ms = 0, exec_ms = 0, d2h_ms = 0, rtt_ms = 0;
   };
   bool ExecuteTimed(const void* input, const std::vector<int64_t>& dims,
                     int input_type, std::vector<HostBuffer>* outputs,

@@ -18,37 +18,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "deploy"))
 
-HN_MAX_LANE_POINTS = 256
-HN_MAX_LANES = 16
-HN_MAX_DETECTIONS = 100
-
-
-class HN_Point(ctypes.Structure):
-    _fields_ = [("x", ctypes.c_float), ("y", ctypes.c_float)]
-
-
-class HN_Lane(ctypes.Structure):
-    _fields_ = [("score", ctypes.c_float), ("num_points", ctypes.c_int),
-                ("points", HN_Point * HN_MAX_LANE_POINTS)]
-
-
-class HN_Detection(ctypes.Structure):
-    _fields_ = [("x1", ctypes.c_float), ("y1", ctypes.c_float),
-                ("x2", ctypes.c_float), ("y2", ctypes.c_float),
-                ("score", ctypes.c_float), ("class_id", ctypes.c_int)]
-
-
-class HN_Output(ctypes.Structure):
-    _fields_ = [("num_lanes", ctypes.c_int),
-                ("lanes", HN_Lane * HN_MAX_LANES),
-                ("num_detections", ctypes.c_int),
-                ("detections", HN_Detection * HN_MAX_DETECTIONS),
-                ("seg_mask", ctypes.POINTER(ctypes.c_ubyte)),
-                ("seg_height", ctypes.c_int), ("seg_width", ctypes.c_int),
-                ("preprocess_ms", ctypes.c_double),
-                ("run_ms", ctypes.c_double),
-                ("postprocess_ms", ctypes.c_double)]
+from hn_ctypes import HN_Output, load_library
 
 
 def main():
@@ -82,13 +54,7 @@ def main():
     w_boxes = np.asarray(want["detections"].boxes[0])[w_valid]
     w_scores = np.asarray(want["detections"].scores[0])[w_valid]
 
-    lib = ctypes.CDLL(os.path.join(REPO, "deploy/build/libhydranet_api.so"))
-    lib.Hydranet_Init.argtypes = [ctypes.POINTER(ctypes.c_void_p),
-                                  ctypes.c_char_p]
-    lib.Hydranet_Detect.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(HN_Output),
-        ctypes.POINTER(ctypes.c_ubyte)]
+    lib = load_library(REPO)
 
     handle = ctypes.c_void_p()
     rc = lib.Hydranet_Init(ctypes.byref(handle), artifact.encode())
@@ -129,10 +95,6 @@ def main():
 
     # pipelined path: results must match the sync path bit-for-bit (same
     # executable, same frame), arriving with one-frame latency.
-    lib.Hydranet_Detect_Pipelined.argtypes = lib.Hydranet_Detect.argtypes
-    lib.Hydranet_Flush.argtypes = [ctypes.c_void_p,
-                                   ctypes.POINTER(HN_Output),
-                                   ctypes.POINTER(ctypes.c_ubyte)]
     pout = HN_Output()
     rc0 = lib.Hydranet_Detect_Pipelined(handle, buf, 128, 128,
                                         ctypes.byref(pout), None)
