@@ -152,20 +152,38 @@ def main():
     if quant == "int8":
         pipe.calibrate([frames])  # content-realistic scales from the fixture
 
+    # HN_DONATE=1: donate the input frames buffer. The plain loop reuses
+    # one device buffer across in-flight dispatches, so the donated input
+    # is threaded through as an (aliased, copy-free) output and fed back —
+    # XLA may then reuse the ~0.8 GB frame buffer for intermediates
+    # (cheap-lever sweep, VERDICT r4 ask #7).
+    donate = bool(os.environ.get("HN_DONATE"))
+    if donate:
+        inner = pipe._run.__wrapped__
+
+        step = jax.jit(lambda v, f: (inner(v, f), f), donate_argnums=(1,))
+
+        def run_once(f):
+            r, f = step(pipe.variables, f)
+            return r, f
+    else:
+        def run_once(f):
+            return pipe._run(pipe.variables, f), f
+
     # tiny digest forces completion of everything it depends on
     digest = jax.jit(lambda r: jnp.sum(r["detections"].scores)
                      + jnp.sum(r["lanes"].prob)
                      + jnp.sum(r["seg"]).astype(jnp.float32))
 
     for _ in range(WARMUP):
-        r = pipe._run(pipe.variables, frames_dev)
+        r, frames_dev = run_once(frames_dev)
         np.asarray(digest(r))
 
     # throughput: K batches in flight, one sync
     t0 = time.perf_counter()
     r = None
     for _ in range(ITERS):
-        r = pipe._run(pipe.variables, frames_dev)
+        r, frames_dev = run_once(frames_dev)
     np.asarray(digest(r))
     dt = (time.perf_counter() - t0) / ITERS
     fps = BATCH / dt
@@ -174,7 +192,7 @@ def main():
     lat = []
     for _ in range(5):
         t0 = time.perf_counter()
-        r = pipe._run(pipe.variables, frames_dev)
+        r, frames_dev = run_once(frames_dev)
         np.asarray(digest(r))
         lat.append(time.perf_counter() - t0)
     p50_batch_ms = float(np.median(lat) * 1000.0)
@@ -182,7 +200,8 @@ def main():
     print(json.dumps({
         "metric": ("frames/sec/chip, full 3-head pipeline e2e "
                    f"(1080p in, {w}x{h} net, bs{BATCH}, "
-                   f"{'int8-PTQ' if quant == 'int8' else 'bf16'}, "
+                   f"{'int8-PTQ' if quant == 'int8' else 'bf16'}"
+                   f"{', donated-input' if donate else ''}, "
                    f"{weights_tag}, preprocess+"
                    "forward+det NMS+seg argmax+lane decode/NMS on device); "
                    f"p50 batch latency {p50_batch_ms:.1f} ms "

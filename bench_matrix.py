@@ -117,7 +117,9 @@ def main():
                          capture_output=True, text=True)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
-            print(line)
+            d = json.loads(line)
+            d["metric"] = "config5: " + str(d.get("metric", ""))
+            print(json.dumps(d))
 
 
 if __name__ == "__main__":

@@ -60,4 +60,8 @@ def load_library(repo_root: str) -> ctypes.CDLL:
     lib.Hydranet_Flush.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(HN_Output),
                                    ctypes.POINTER(ctypes.c_ubyte)]
+    lib.Hydranet_BatchSize.argtypes = [ctypes.c_void_p]
+    lib.Hydranet_Detect_Batched.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(HN_Output)]
     return lib

@@ -55,6 +55,45 @@ def imread_reduced(img_path: str, min_w: int, min_h: int):
     return img, (1.0, 1.0)
 
 
+def exif_transpose(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF Orientation tag (274) to a decoded HWC array — numpy
+    mirror of the reference's PIL transform table (utility.py:49-96).
+
+    PIL `rotate(-90, expand=True)` is a clockwise quarter turn
+    (np.rot90(k=-1)); `transpose(FLIP_LEFT_RIGHT)` is np.fliplr."""
+    if orientation == 2:
+        return np.fliplr(img)
+    if orientation == 3:
+        return np.rot90(img, 2)
+    if orientation == 4:
+        return np.flipud(img)
+    if orientation == 5:
+        return np.fliplr(np.rot90(img, -1))
+    if orientation == 6:
+        return np.rot90(img, -1)
+    if orientation == 7:
+        return np.fliplr(np.rot90(img, 1))
+    if orientation == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def load_image_file(file, mode: str = "RGB") -> np.ndarray:
+    """Load an image into a numpy array with EXIF orientation applied —
+    equivalent of the reference's load_image_file (utility.py:99-135);
+    cv2.imread's tag handling is version-dependent, so orientation is
+    read and applied explicitly."""
+    from PIL import Image
+
+    with Image.open(file) as im:
+        try:
+            orientation = int(im.getexif().get(274, 1))
+        except Exception:
+            orientation = 1
+        arr = np.array(im.convert(mode))
+    return np.ascontiguousarray(exif_transpose(arr, orientation))
+
+
 def get_img_whc(img: np.ndarray) -> Dict[str, int]:
     """Image {width, height, channel} — utility.py:157-173."""
     if img.ndim == 2:

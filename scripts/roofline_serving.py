@@ -84,6 +84,11 @@ def report():
         print(f"{name:34s} {ms:8.2f} {fl / 1e9:9.1f} {by / 1e9:8.2f} "
               f"{t_mxu:7.2f} {t_hbm:7.2f} {bound:7.2f} "
               f"{ms / bound if bound else float('nan'):7.2f} {which}")
+    tot_ms = sum(r[1] for r in ROWS if r[1] == r[1])
+    tot_fl = sum(r[2] for r in ROWS if r[2] == r[2])
+    tot_by = sum(r[3] for r in ROWS if r[3] == r[3])
+    print(f"{'TOTAL':34s} {tot_ms:8.2f} {tot_fl / 1e9:9.1f} "
+          f"{tot_by / 1e9:8.2f}")
 
 
 def main():

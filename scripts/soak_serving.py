@@ -91,7 +91,7 @@ def main():
     lat_ms = np.asarray(lat[drop:]) * 1000.0
     import json
     print(json.dumps({
-        "metric": f"sustained serving, {n_done} batches of {BATCH} "
+        "metric": f"SOAK: sustained serving, {n_done} batches of {BATCH} "
                   "(pipelined stream, depth 3)",
         "value": round(n_done * BATCH / total, 2),
         "unit": "frames/sec/chip",

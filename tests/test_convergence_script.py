@@ -18,15 +18,38 @@ def _load():
     return mod
 
 
+def _committed_ckpt(model_dir, n):
+    """A dir latest_checkpoint treats as a committed orbax save (it
+    requires the manifest orbax's atomic-rename protocol writes last)."""
+    d = model_dir / f"epoch_{n}"
+    d.mkdir()
+    (d / "_CHECKPOINT_METADATA").touch()
+    return d
+
+
 def test_latest_checkpoint_picks_highest_epoch(tmp_path):
     mod = _load()
     model = tmp_path / "logs" / "model"
     model.mkdir(parents=True)
     for n in (0, 2, 10):  # 10 after 2: numeric, not lexicographic, order
-        (model / f"epoch_{n}").mkdir()
+        _committed_ckpt(model, n)
     (model / "not_a_ckpt").mkdir()
     got = mod.latest_checkpoint(str(tmp_path / "logs"))
     assert got == str(model / "epoch_10")
+
+
+def test_latest_checkpoint_skips_partial_saves(tmp_path):
+    """A kill mid-save leaves an orbax tmp dir and/or a manifest-less
+    epoch dir; auto-resume must fall back to the last COMMITTED epoch
+    (ADVICE r4 medium)."""
+    mod = _load()
+    model = tmp_path / "logs" / "model"
+    model.mkdir(parents=True)
+    _committed_ckpt(model, 7)
+    (model / "epoch_8").mkdir()  # manifest-less: interrupted save
+    (model / "epoch_9.orbax-checkpoint-tmp-1234").mkdir()
+    got = mod.latest_checkpoint(str(tmp_path / "logs"))
+    assert got == str(model / "epoch_7")
 
 
 def test_latest_checkpoint_empty_cases(tmp_path):

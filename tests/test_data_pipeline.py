@@ -246,3 +246,32 @@ def test_pool_abandoned_iterator_is_drained(cfg):
             _batches_equal(a, b)
     finally:
         dl.shutdown()
+
+
+def test_exif_orientation_applied(tmp_path):
+    """load_image_file must undo the EXIF Orientation tag — equivalent of
+    the reference's exif_transpose (utility.py:49-96): a camera that
+    stores the sensor image rotated must come back upright."""
+    from PIL import Image
+
+    from hydranet_tpu.data.utility import exif_transpose, load_image_file
+
+    rng = np.random.RandomState(3)
+    stored = rng.randint(0, 255, (32, 48, 3), np.uint8)
+
+    for orientation in range(1, 9):
+        p = tmp_path / f"o{orientation}.png"  # png: lossless, keeps exif
+        exif = Image.Exif()
+        exif[274] = orientation
+        Image.fromarray(stored).save(p, exif=exif)
+
+        got = load_image_file(str(p))
+        want = exif_transpose(stored, orientation)
+        assert got.shape == want.shape, orientation
+        np.testing.assert_array_equal(got, want)
+
+    # orientation 6 (the common "camera held vertically" case) is a
+    # clockwise quarter turn: stored top-right corner becomes top-left
+    want6 = exif_transpose(stored, 6)
+    assert want6.shape == (48, 32, 3)
+    np.testing.assert_array_equal(want6[0, 0], stored[-1, 0])

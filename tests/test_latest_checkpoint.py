@@ -14,6 +14,10 @@ from train_convergence import latest_checkpoint  # noqa: E402
 
 def _mk(path):
     os.makedirs(path, exist_ok=True)
+    if os.path.basename(path).startswith("epoch_"):
+        # latest_checkpoint only trusts COMMITTED saves: orbax's atomic-
+        # rename protocol writes the metadata file last (ADVICE r4)
+        open(os.path.join(path, "_CHECKPOINT_METADATA"), "w").close()
     return path
 
 
