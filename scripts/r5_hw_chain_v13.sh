@@ -42,11 +42,14 @@ secs_left() {
   echo $((tgt - now))
 }
 
-# per-step timeout, clamped to >=60 so a zero can never reach GNU timeout
-# (timeout 0 DISABLES the limit — ADVICE r4)
+# per-step timeout: min(seconds to deadline, optional per-step cap),
+# clamped to >=60 so a zero can never reach GNU timeout (timeout 0
+# DISABLES the limit — ADVICE r4). The cap keeps one wedged relay RPC
+# from eating every later step's budget (observed r5: epoch-36 val hang).
 step_budget() {
-  local s
+  local s cap="${1:-0}"
   s=$(secs_left)
+  if [ "$cap" -gt 0 ] && [ "$s" -gt "$cap" ]; then s=$cap; fi
   if [ "$s" -lt 60 ]; then echo 60; else echo "$s"; fi
 }
 
@@ -131,8 +134,11 @@ guard "[4/8] trained deploy golden run (nonzero dets/lanes through C ABI)"
 if grep -q "GOLDEN OK" artifacts/deploy_golden_r5.log 2>/dev/null; then
   echo "already landed, skipping"
 else
+  # the VM restore wipes deploy/build (gitignored); reconfigure when absent
+  [ -f deploy/build/build.ninja ] || \
+    (cd deploy && timeout 600 cmake -B build -G Ninja 2>&1 | tail -2)
   (cd deploy/build && timeout 1200 ninja 2>&1 | tail -2)
-  timeout "$(step_budget)" python deploy/golden_compare.py \
+  timeout "$(step_budget 3000)" python deploy/golden_compare.py \
     --image artifacts/fixtures/demo_frame_procedural.jpg 2>&1 \
     | tee artifacts/deploy_golden_r5.log | tail -25
 fi
@@ -145,7 +151,7 @@ guard "[5/8] C-ABI latency sweep bs 1/4/8/16 (corrected ExecuteTimed)"
 if grep -q "SWEEP DONE" artifacts/deploy_latency_r5.log 2>/dev/null; then
   echo "already landed, skipping"
 else
-  timeout "$(step_budget)" python deploy/latency_sweep.py 2>&1 \
+  timeout "$(step_budget 3600)" python deploy/latency_sweep.py 2>&1 \
     | tee artifacts/deploy_latency_r5.log | tail -30
 fi
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
@@ -166,6 +172,7 @@ else
   fi
   timeout "$(step_budget)" python scripts/train_convergence.py \
     --epochs 46 --fine-tuning --epoch-tuning 2 --auto-resume \
+    --seed-npz artifacts/trained_ckpt_r5.npz \
     --out artifacts/convergence_metrics_r5ft.jsonl 2>&1 \
     | tee -a artifacts/train_convergence_r5ft.log \
     | grep -E "EPOCH SUMMARY|EPOCH [0-9]+ [A-Z]+ TRAINING|auto-resume|retry|done"
@@ -182,7 +189,7 @@ guard "[7/8] BASELINE matrix (5 configs) + soak at current defaults"
 if grep -q "config5" artifacts/bench_matrix_r5.log 2>/dev/null; then
   echo "matrix already landed, skipping"
 else
-  timeout "$(step_budget)" python bench_matrix.py 2>&1 \
+  timeout "$(step_budget 5400)" python bench_matrix.py 2>&1 \
     | tee artifacts/bench_matrix_r5.log | tail -10
   commit_now "bench r5: full BASELINE matrix" artifacts/bench_matrix_r5.log
 fi
@@ -190,7 +197,7 @@ guard "[7b/8] soak"
 if grep -q "SOAK" artifacts/soak_r5.log 2>/dev/null; then
   echo "soak already landed, skipping"
 else
-  timeout "$(step_budget)" python scripts/soak_serving.py 2>&1 \
+  timeout "$(step_budget 2400)" python scripts/soak_serving.py 2>&1 \
     | tee artifacts/soak_r5.log | tail -6
 fi
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
@@ -210,7 +217,7 @@ guard "[8b/8] lever sweep (batch 192/256, donation, scheduler flags)"
 if grep -q "LEVERS DONE" artifacts/bench_levers_r5.log 2>/dev/null; then
   echo "levers already landed, skipping"
 else
-  timeout "$(step_budget)" python scripts/bench_levers.py 2>&1 \
+  timeout "$(step_budget 4800)" python scripts/bench_levers.py 2>&1 \
     | tee artifacts/bench_levers_r5.log | tail -30
 fi
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"

@@ -84,6 +84,16 @@ def main():
                          "the config's logs dir if one exists (restart-safe "
                          "chain steps: a killed run continues, a fresh tree "
                          "starts from scratch)")
+    ap.add_argument("--seed-npz", default="",
+                    help="compact npz checkpoint (save_compact) to seed "
+                         "params/batch_stats from when no orbax checkpoint "
+                         "exists. Used after a VM restore wipes the orbax "
+                         "tree: the committed artifacts/trained_ckpt_r5.npz "
+                         "re-seeds the converged weights, opt state starts "
+                         "fresh, and step is positioned at (meta epoch+1) x "
+                         "steps/epoch so the cosine schedule continues at "
+                         "its tail. --auto-resume takes precedence when a "
+                         "real orbax checkpoint survives.")
     ap.add_argument("--fine-tuning", action="store_true",
                     help="exercise the alternating joint -> per-head "
                          "fine-tuning schedule (reference train.py:441-515): "
@@ -123,7 +133,42 @@ def main():
         resume = latest_checkpoint(_lc(args.config).train.logs)
         if resume:
             print(f"auto-resume from {resume}", flush=True)
+    def seed_from_npz(trainer: "HydraTrainer") -> "HydraTrainer":
+        """Overlay the compact npz weights onto a fresh trainer: params +
+        batch_stats from the npz, fresh opt state, step positioned at
+        (meta epoch + 1) * steps/epoch so the LR schedule continues at the
+        point the source run stopped."""
+        import jax
+        import jax.numpy as jnp
+
+        from hydranet_tpu.train.checkpoint import load_compact
+
+        loaded = load_compact(args.seed_npz)
+        meta_path = args.seed_npz + ".json"
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        seed_epoch = int(meta.get("epoch", -1)) + 1
+        # cast each loaded leaf to the trainer's dtype (load_compact returns
+        # f32 values that are exactly the bf16-rounded trained weights)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.asarray(new, old.dtype),
+            loaded["params"], trainer.state.params)
+        bstats = jax.tree_util.tree_map(
+            lambda new, old: jnp.asarray(new, old.dtype),
+            loaded["batch_stats"], trainer.state.batch_stats)
+        step0 = seed_epoch * max(1, len(trainer.trainloader))
+        trainer.state = trainer.state._replace(
+            params=params, batch_stats=bstats,
+            opt_state=trainer.tx.init(params),
+            step=jnp.asarray(step0, jnp.int32))
+        trainer.start_epoch = seed_epoch
+        print(f"seeded from {args.seed_npz} (epoch {seed_epoch - 1} weights "
+              f"-> start epoch {seed_epoch}, step {step0}, fresh opt state)",
+              flush=True)
+        return trainer
+
     trainer = build_trainer(resume)
+    if args.seed_npz and not resume:
+        trainer = seed_from_npz(trainer)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     t0 = time.time()
     epoch, retries = trainer.start_epoch, 0
@@ -139,8 +184,10 @@ def main():
                   f"retry {retries}/8 in 120 s from last checkpoint",
                   flush=True)
             time.sleep(120)
-            trainer = build_trainer(
-                latest_checkpoint(trainer.cfg.train.logs))
+            ckpt = latest_checkpoint(trainer.cfg.train.logs)
+            trainer = build_trainer(ckpt)
+            if args.seed_npz and not ckpt:
+                trainer = seed_from_npz(trainer)
             epoch = trainer.start_epoch
             continue
         row = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),
