@@ -67,6 +67,42 @@ def latest_checkpoint(logs_dir: str) -> str:
     return max(cands)[2] if cands else ""
 
 
+def seed_trainer_from_npz(trainer, npz_path: str):
+    """Overlay compact-npz weights (save_compact) onto a fresh trainer:
+    params + batch_stats from the npz (cast to the trainer's dtypes),
+    fresh opt state, and step positioned at (meta epoch + 1) x
+    steps/epoch so the LR schedule continues where the source run
+    stopped. Used when a VM restore wiped the orbax tree but the
+    committed compact checkpoint survives (VERDICT r4 missing #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydranet_tpu.train.checkpoint import load_compact
+
+    loaded = load_compact(npz_path)
+    meta_path = npz_path + ".json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    seed_epoch = int(meta.get("epoch", -1)) + 1
+    # cast each loaded leaf to the trainer's dtype (load_compact returns
+    # f32 values that are exactly the bf16-rounded trained weights)
+    params = jax.tree_util.tree_map(
+        lambda new, old: jnp.asarray(new, old.dtype),
+        loaded["params"], trainer.state.params)
+    bstats = jax.tree_util.tree_map(
+        lambda new, old: jnp.asarray(new, old.dtype),
+        loaded["batch_stats"], trainer.state.batch_stats)
+    step0 = seed_epoch * max(1, len(trainer.trainloader))
+    trainer.state = trainer.state._replace(
+        params=params, batch_stats=bstats,
+        opt_state=trainer.tx.init(params),
+        step=jnp.asarray(step0, jnp.int32))
+    trainer.start_epoch = seed_epoch
+    print(f"seeded from {npz_path} (epoch {seed_epoch - 1} weights "
+          f"-> start epoch {seed_epoch}, step {step0}, fresh opt state)",
+          flush=True)
+    return trainer
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None,
@@ -133,42 +169,9 @@ def main():
         resume = latest_checkpoint(_lc(args.config).train.logs)
         if resume:
             print(f"auto-resume from {resume}", flush=True)
-    def seed_from_npz(trainer: "HydraTrainer") -> "HydraTrainer":
-        """Overlay the compact npz weights onto a fresh trainer: params +
-        batch_stats from the npz, fresh opt state, step positioned at
-        (meta epoch + 1) * steps/epoch so the LR schedule continues at the
-        point the source run stopped."""
-        import jax
-        import jax.numpy as jnp
-
-        from hydranet_tpu.train.checkpoint import load_compact
-
-        loaded = load_compact(args.seed_npz)
-        meta_path = args.seed_npz + ".json"
-        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
-        seed_epoch = int(meta.get("epoch", -1)) + 1
-        # cast each loaded leaf to the trainer's dtype (load_compact returns
-        # f32 values that are exactly the bf16-rounded trained weights)
-        params = jax.tree_util.tree_map(
-            lambda new, old: jnp.asarray(new, old.dtype),
-            loaded["params"], trainer.state.params)
-        bstats = jax.tree_util.tree_map(
-            lambda new, old: jnp.asarray(new, old.dtype),
-            loaded["batch_stats"], trainer.state.batch_stats)
-        step0 = seed_epoch * max(1, len(trainer.trainloader))
-        trainer.state = trainer.state._replace(
-            params=params, batch_stats=bstats,
-            opt_state=trainer.tx.init(params),
-            step=jnp.asarray(step0, jnp.int32))
-        trainer.start_epoch = seed_epoch
-        print(f"seeded from {args.seed_npz} (epoch {seed_epoch - 1} weights "
-              f"-> start epoch {seed_epoch}, step {step0}, fresh opt state)",
-              flush=True)
-        return trainer
-
     trainer = build_trainer(resume)
     if args.seed_npz and not resume:
-        trainer = seed_from_npz(trainer)
+        trainer = seed_trainer_from_npz(trainer, args.seed_npz)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     t0 = time.time()
     epoch, retries = trainer.start_epoch, 0
@@ -187,7 +190,7 @@ def main():
             ckpt = latest_checkpoint(trainer.cfg.train.logs)
             trainer = build_trainer(ckpt)
             if args.seed_npz and not ckpt:
-                trainer = seed_from_npz(trainer)
+                trainer = seed_trainer_from_npz(trainer, args.seed_npz)
             epoch = trainer.start_epoch
             continue
         row = {"epoch": epoch, "wall_s": round(time.time() - t0, 1),

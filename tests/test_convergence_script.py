@@ -57,3 +57,48 @@ def test_latest_checkpoint_empty_cases(tmp_path):
     assert mod.latest_checkpoint(str(tmp_path / "nope")) == ""
     (tmp_path / "logs" / "model").mkdir(parents=True)
     assert mod.latest_checkpoint(str(tmp_path / "logs")) == ""
+
+
+def test_seed_trainer_from_npz(tmp_path):
+    """Compact-npz seeding (the wipe-proof restart path): params come back
+    as the bf16-rounded trained values cast to the trainer's dtypes,
+    batch_stats survive in f32, opt state is re-initialized for the new
+    tree, and start_epoch/step are positioned at (meta epoch + 1) so the
+    LR schedule continues at its tail."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hydranet_tpu.train.checkpoint import save_compact
+    from hydranet_tpu.parallel.train_step import TrainState
+
+    mod = _load()
+
+    trained = {"params": {"backbone": {"w": np.full((4, 4), 1.5, np.float32)}},
+               "batch_stats": {"backbone": {"mean": np.full((4,), 0.25,
+                                                            np.float32)}}}
+    npz = str(tmp_path / "ckpt.npz")
+    save_compact(npz, trained, meta={"epoch": 39})
+    assert json.load(open(npz + ".json"))["epoch"] == 39
+
+    class FakeTrainer:
+        tx = optax.sgd(1e-3)
+        trainloader = [0] * 25  # 25 steps/epoch
+        start_epoch = 0
+        state = TrainState(
+            params={"backbone": {"w": jnp.zeros((4, 4), jnp.float32)}},
+            batch_stats={"backbone": {"mean": jnp.zeros((4,), jnp.float32)}},
+            opt_state=None,
+            step=jnp.zeros((), jnp.int32))
+
+    t = mod.seed_trainer_from_npz(FakeTrainer(), npz)
+    assert t.start_epoch == 40
+    assert int(t.state.step) == 40 * 25
+    # 1.5 and 0.25 are bf16-exact, so the round trip is exact here
+    np.testing.assert_array_equal(
+        np.asarray(t.state.params["backbone"]["w"]), 1.5)
+    np.testing.assert_array_equal(
+        np.asarray(t.state.batch_stats["backbone"]["mean"]), 0.25)
+    assert t.state.opt_state is not None
