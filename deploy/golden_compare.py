@@ -299,13 +299,32 @@ def compare(args):
         elif miss:
             print(f"  note: {miss} boundary det flip(s) within tolerance budget")
 
-        # --- lanes: per-lane score + pointwise x tolerance
-        c_l = sorted(c["lanes"], key=lambda x: -x["score"])
-        w_l = sorted(want_lanes, key=lambda x: -x["score"])
-        if abs(len(c_l) - len(w_l)) > 1:
-            print(f"  FAIL lane count C {len(c_l)} vs py {len(w_l)}")
+        # --- lanes: per-lane score + pointwise x tolerance. Pair lanes by
+        # GEOMETRY (min mean |dx| over the shared point range), not by score
+        # order: trained lane scores saturate to identical values (all
+        # 1.016 on the fixture), so a score-sorted zip pairs different
+        # physical lanes and reports a spurious 120 px drift.
+        def mean_dx(a, b):
+            n = min(len(a["points"]), len(b["points"]))
+            if n == 0:
+                return float("inf")
+            return (sum(abs(a["points"][p][0] - b["points"][p][0])
+                        for p in range(n)) / n
+                    + 10.0 * abs(len(a["points"]) - len(b["points"])))
+
+        c_l = list(c["lanes"])
+        w_rest = list(want_lanes)
+        pairs = []
+        for cl in sorted(c_l, key=lambda x: -x["score"]):
+            if not w_rest:
+                break
+            wl = min(w_rest, key=lambda w: mean_dx(cl, w))
+            w_rest.remove(wl)
+            pairs.append((cl, wl))
+        if abs(len(c_l) - len(want_lanes)) > 1:
+            print(f"  FAIL lane count C {len(c_l)} vs py {len(want_lanes)}")
             ok = False
-        for cl, wl in zip(c_l, w_l):
+        for cl, wl in pairs:
             if abs(cl["score"] - wl["score"]) > 2e-2:
                 print(f"  FAIL lane score {cl['score']} vs {wl['score']}")
                 ok = False
@@ -355,6 +374,9 @@ def main():
                     default=os.path.join(REPO, "artifacts/trained_ckpt_r5.npz"))
     ap.add_argument("--det-thres", type=float, default=0.35)
     ap.add_argument("--phase", choices=["a", "b"], default="")
+    ap.add_argument("--compare-only", action="store_true",
+                    help="re-run phase C against the saved phase A/B "
+                         "outputs in the work dir (chip-free)")
     ap.add_argument("--settle", type=int, default=95,
                     help="seconds between chip-holding subprocesses "
                          "(relay claim expiry)")
@@ -369,6 +391,8 @@ def main():
         return phase_a(args)
     if args.phase == "b":
         return phase_b(args)
+    if args.compare_only:
+        return compare(args)
 
     os.makedirs(WORK, exist_ok=True)
     base = [sys.executable, os.path.abspath(__file__),
