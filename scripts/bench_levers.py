@@ -40,11 +40,22 @@ CELLS = [
      {"BENCH_BATCH": "128",
       "XLA_FLAGS": ("--xla_tpu_enable_latency_hiding_scheduler=true "
                     "--xla_tpu_enable_async_collective_fusion=true")}),
+    # the same batch levers on the TRAINED headline config (small backbone,
+    # committed npz — what `python bench.py` serves by default): if a larger
+    # batch wins here, it moves the actual headline, not just the
+    # random-init continuity series. HN_RANDOM_INIT is cleared per-cell.
+    ("trained bs128 control", {"TRAINED": "1", "BENCH_BATCH": "128"}),
+    ("trained bs192", {"TRAINED": "1", "BENCH_BATCH": "192"}),
+    ("trained bs256", {"TRAINED": "1", "BENCH_BATCH": "256"}),
 ]
 
 
 def run_cell(name, env_extra, timeout_s):
+    env_extra = dict(env_extra)
+    trained = env_extra.pop("TRAINED", None)
     env = dict(os.environ, HN_RANDOM_INIT="1", **env_extra)
+    if trained:
+        env.pop("HN_RANDOM_INIT", None)  # serve the committed npz
     # flag cells must not poison the shared compile cache with entries
     # compiled under different XLA options
     if "XLA_FLAGS" in env_extra:
@@ -84,22 +95,32 @@ def main():
 
     print("\n| cell | fps | ms/frame p50 |")
     print("|---|---|---|")
-    base = next((r.get("fps") for r in rows if r["cell"] == "bs128 control"),
-                None)
+
+    def base_for(cell):  # each series is compared against its own control
+        ctrl = ("trained bs128 control" if cell.startswith("trained")
+                else "bs128 control")
+        return (next((r.get("fps") for r in rows if r["cell"] == ctrl), None),
+                ctrl)
+
     for r in rows:
         if "error" in r:
             print(f"| {r['cell']} | FAILED: {r['error'][:80]} | |")
         else:
+            base, ctrl = base_for(r["cell"])
             delta = (f" ({(r['fps'] / base - 1) * 100:+.1f}%)"
-                     if base and r["cell"] != "bs128 control" else "")
+                     if base and r["cell"] != ctrl else "")
             print(f"| {r['cell']} | {r['fps']}{delta} | "
                   f"{r.get('p50_frame_ms') or ''} |")
-    good = [r for r in rows if "fps" in r]
-    if good:
-        best = max(good, key=lambda r: r["fps"])
-        print(f"\nbest cell: {best['cell']} at {best['fps']} fps"
-              + (f" ({(best['fps'] / base - 1) * 100:+.1f}% vs bs128 control)"
-                 if base else ""))
+    for series in ("", "trained "):
+        good = [r for r in rows if "fps" in r
+                and r["cell"].startswith("trained") == bool(series)]
+        if good:
+            best = max(good, key=lambda r: r["fps"])
+            base, _ = base_for(best["cell"])
+            print(f"best {series or 'flagship '}cell: {best['cell']} at "
+                  f"{best['fps']} fps"
+                  + (f" ({(best['fps'] / base - 1) * 100:+.1f}% vs control)"
+                     if base else ""))
     print("LEVERS DONE")
 
 
