@@ -217,7 +217,7 @@ guard "[8b/8] lever sweep (batch 192/256, donation, scheduler flags)"
 if grep -q "LEVERS DONE" artifacts/bench_levers_r5.log 2>/dev/null; then
   echo "levers already landed, skipping"
 else
-  timeout "$(step_budget 4800)" python scripts/bench_levers.py 2>&1 \
+  timeout "$(step_budget 7200)" python scripts/bench_levers.py 2>&1 \
     | tee artifacts/bench_levers_r5.log | tail -30
 fi
 echo "--- exit: $? $(date -u +%H:%M:%S) ---"
