@@ -92,9 +92,22 @@ def seed_trainer_from_npz(trainer, npz_path: str):
         lambda new, old: jnp.asarray(new, old.dtype),
         loaded["batch_stats"], trainer.state.batch_stats)
     step0 = seed_epoch * max(1, len(trainer.trainloader))
+    opt_state = trainer.tx.init(params)
+    # Position the LR schedule at step0: scale_by_learning_rate reads the
+    # ScaleByScheduleState's INTERNAL count (not TrainState.step), and
+    # tx.init resets it to 0 — without this the seeded run trains at the
+    # cosine START LR (~23x the tail; observed as the epoch-44 mIoU dip
+    # .944 -> .860 in the first r5ft attempt). Adam's own count stays 0 so
+    # its bias correction handles the fresh moments correctly.
+    import optax
+
+    opt_state = tuple(
+        s._replace(count=jnp.asarray(step0, jnp.int32))
+        if isinstance(s, optax.ScaleByScheduleState) else s
+        for s in opt_state)
     trainer.state = trainer.state._replace(
         params=params, batch_stats=bstats,
-        opt_state=trainer.tx.init(params),
+        opt_state=opt_state,
         step=jnp.asarray(step0, jnp.int32))
     trainer.start_epoch = seed_epoch
     print(f"seeded from {npz_path} (epoch {seed_epoch - 1} weights "

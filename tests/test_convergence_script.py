@@ -83,8 +83,10 @@ def test_seed_trainer_from_npz(tmp_path):
     save_compact(npz, trained, meta={"epoch": 39})
     assert json.load(open(npz + ".json"))["epoch"] == 39
 
+    from hydranet_tpu.train.optimizer import make_optimizer
+
     class FakeTrainer:
-        tx = optax.sgd(1e-3)
+        tx = make_optimizer(4e-4, 5e-4, total_iters=46 * 25)
         trainloader = [0] * 25  # 25 steps/epoch
         start_epoch = 0
         state = TrainState(
@@ -102,3 +104,12 @@ def test_seed_trainer_from_npz(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(t.state.batch_stats["backbone"]["mean"]), 0.25)
     assert t.state.opt_state is not None
+    # the LR schedule must be positioned at step0: scale_by_learning_rate
+    # reads the INTERNAL ScaleByScheduleState count, and leaving it at 0
+    # would train the seeded run at the cosine START LR (~23x the tail)
+    sched = [s for s in t.state.opt_state
+             if isinstance(s, optax.ScaleByScheduleState)]
+    assert sched and int(sched[0].count) == 40 * 25
+    adam = [s for s in t.state.opt_state
+            if isinstance(s, optax.ScaleByAdamState)]
+    assert adam and int(adam[0].count) == 0  # fresh-moment bias correction
