@@ -27,11 +27,18 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Run order = value order under a deadline: the trained cells can move the
+# ACTUAL headline (bench.py serves the committed npz by default), so they
+# run first; then the flagship random-init batch levers (the 1173~=bound
+# question); flag cells last (each recompiles into a separate cache).
 CELLS = [
+    ("trained bs128 control", {"TRAINED": "1", "BENCH_BATCH": "128"}),
+    ("trained bs192", {"TRAINED": "1", "BENCH_BATCH": "192"}),
+    ("trained bs256", {"TRAINED": "1", "BENCH_BATCH": "256"}),
     ("bs128 control", {"BENCH_BATCH": "128"}),
-    ("bs96", {"BENCH_BATCH": "96"}),
     ("bs192", {"BENCH_BATCH": "192"}),
     ("bs256", {"BENCH_BATCH": "256"}),
+    ("bs96", {"BENCH_BATCH": "96"}),
     ("bs128 + donate", {"BENCH_BATCH": "128", "HN_DONATE": "1"}),
     ("bs128 + latency-hiding sched",
      {"BENCH_BATCH": "128",
@@ -40,13 +47,6 @@ CELLS = [
      {"BENCH_BATCH": "128",
       "XLA_FLAGS": ("--xla_tpu_enable_latency_hiding_scheduler=true "
                     "--xla_tpu_enable_async_collective_fusion=true")}),
-    # the same batch levers on the TRAINED headline config (small backbone,
-    # committed npz — what `python bench.py` serves by default): if a larger
-    # batch wins here, it moves the actual headline, not just the
-    # random-init continuity series. HN_RANDOM_INIT is cleared per-cell.
-    ("trained bs128 control", {"TRAINED": "1", "BENCH_BATCH": "128"}),
-    ("trained bs192", {"TRAINED": "1", "BENCH_BATCH": "192"}),
-    ("trained bs256", {"TRAINED": "1", "BENCH_BATCH": "256"}),
 ]
 
 

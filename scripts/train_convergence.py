@@ -133,6 +133,11 @@ def main():
                          "the config's logs dir if one exists (restart-safe "
                          "chain steps: a killed run continues, a fresh tree "
                          "starts from scratch)")
+    ap.add_argument("--logs", default="",
+                    help="override cfg.train.logs (run/checkpoint tree). "
+                         "Lets a corrected re-run use a fresh tree so "
+                         "auto-resume/retry cannot pick up a superseded "
+                         "run's checkpoints.")
     ap.add_argument("--seed-npz", default="",
                     help="compact npz checkpoint (save_compact) to seed "
                          "params/batch_stats from when no orbax checkpoint "
@@ -168,6 +173,8 @@ def main():
         if args.epochs is not None:
             d["train"]["epoch"] = args.epochs
         d["dataloader"]["data_list"] = os.path.join(args.data, "list")
+        if args.logs:
+            d["train"]["logs"] = args.logs
         if args.fine_tuning:
             d["train"]["fine_tuning"] = True
             d["train"]["epoch_tuning"] = args.epoch_tuning
@@ -179,7 +186,7 @@ def main():
     resume = args.resume
     if args.auto_resume and not resume:
         from hydranet_tpu.config import load_config as _lc
-        resume = latest_checkpoint(_lc(args.config).train.logs)
+        resume = latest_checkpoint(args.logs or _lc(args.config).train.logs)
         if resume:
             print(f"auto-resume from {resume}", flush=True)
     trainer = build_trainer(resume)

@@ -30,7 +30,9 @@ while true; do
   for f in artifacts/convergence_metrics_r5.jsonl \
            artifacts/convergence_metrics_r5ft.jsonl \
            artifacts/train_convergence_r5.log \
-           artifacts/train_convergence_r5ft.log; do
+           artifacts/train_convergence_r5ft.log \
+           artifacts/convergence_metrics_r5ft2.jsonl \
+           artifacts/train_convergence_r5ft2.log; do
     [ -f "$f" ] || continue
     m=$(stat -c %Y "$f")
     [ "$m" -gt "$newest" ] && newest=$m
