@@ -51,6 +51,16 @@ while true; do
     if [ "$pcmd" != "python" ]; then main_pid=$p; fi
   done
   [ -z "$main_pid" ] && continue
+  # a freshly started trainer is legitimately silent through its first
+  # compile; never let a stale file from a PREVIOUS run count against it
+  # (observed 03:08Z: a watchdog with an outdated watch list killed two
+  # live trainers 150 s after launch because another run's jsonl was
+  # 55 min old). Liveness age = min(file age, process age).
+  etimes=$(ps -o etimes= -p "$main_pid" 2>/dev/null | tr -d ' ')
+  if [ -n "$etimes" ]; then
+    proc_min=$(( etimes / 60 ))
+    [ "$proc_min" -lt "$age_min" ] && age_min=$proc_min
+  fi
   if [ "$age_min" -ge "$STALL_MIN" ]; then
     log "STALL: no trainer output for ${age_min} min; killing pid $main_pid"
     kill "$main_pid" 2>/dev/null
