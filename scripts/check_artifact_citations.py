@@ -8,6 +8,7 @@ Usage: python scripts/check_artifact_citations.py  (exit 1 on missing)
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import sys
@@ -42,6 +43,11 @@ def main() -> int:
         for m in pat.findall(open(p).read()):
             m = m.rstrip(".")
             if m in WAIVED or os.path.exists(os.path.join(REPO, m)):
+                continue
+            # a citation like `..._r5_*.jpg` names a family; the regex
+            # stops at the `*`, leaving a prefix — satisfied if any file
+            # matches it
+            if glob.glob(os.path.join(REPO, m + "*")):
                 continue
             missing.add((doc, m))
     for doc, m in sorted(missing):
