@@ -56,7 +56,10 @@ def main():
         d_own = after[own] - before[own]
         others = {m: after[m] - before[m] for m in METRICS if m != own}
         worst = min(others.values())
-        verdict = "ok" if (d_own >= -1e-4 and worst > -0.01) else "CHECK"
+        # tolerance: 48-scene eval noise is ~±0.005 on each metric (the
+        # converged JOINT epochs 37-39 fluctuate that much with no
+        # schedule change); a drift inside it is "held", not damage
+        verdict = "ok" if (d_own >= -0.005 and worst > -0.01) else "CHECK"
         ok &= verdict == "ok"
         print(f"{p:4s} epochs {rows[a]['epoch']}-{rows[b]['epoch']}: "
               f"{own} {before[own]:.4f} -> {after[own]:.4f} "
