@@ -43,6 +43,13 @@ def load_variables(cfg, checkpoint: str):
         from hydranet_tpu.train.checkpoint import import_torch_weights
 
         return import_torch_weights(variables, weight_file=checkpoint)
+    if checkpoint.endswith(".npz"):
+        # commit-sized trained snapshot (save_compact) — the wipe-proof
+        # serving checkpoint; mirrors the reference's demo always loading
+        # trained weights (demo.py:123-131)
+        from hydranet_tpu.train.checkpoint import load_compact
+
+        return load_compact(checkpoint)
     from hydranet_tpu.train.checkpoint import restore_checkpoint
 
     state = restore_checkpoint(checkpoint, target=None)
