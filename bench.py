@@ -93,6 +93,13 @@ def main():
             f"mIoU {m.get('mIoU', '?')}/AP {m.get('AP', '?')}"
             f"/laneF1 {m.get('lane_f1', '?')}, "
             f"config {os.path.basename(str(npz_meta.get('config')))})")
+    elif ckpt and ckpt.endswith(".npz"):
+        # compact commit-sized snapshot (save_compact), e.g. the
+        # fine-tuned artifacts/trained_ckpt_r5ft.npz
+        from hydranet_tpu.train.checkpoint import load_compact
+
+        variables = load_compact(ckpt)
+        weights_tag = "ckpt:" + os.path.basename(ckpt)
     elif ckpt:
         import orbax.checkpoint as ocp
 
