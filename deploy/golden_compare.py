@@ -289,15 +289,25 @@ def compare(args):
                  and w["class_id"] == d["class_id"]), None)
             if hit is not None:
                 unmatched.remove(hit)
-        miss = max(len(unmatched), len(c["detections"]) - (len(want_dets) - len(unmatched)))
-        if miss > 2:
-            print(f"  FAIL detections: {len(unmatched)} python-only, C-only "
-                  f"{len(c['detections']) - (len(want_dets) - len(unmatched))}")
+        # a mismatch is tolerable ONLY as a threshold boundary flip: the
+        # unmatched det must sit near det_thres. A confident det (score
+        # well above threshold) failing to pair means the structs are
+        # wrong — exactly the transposed-layout d2h bug this check caught
+        # (C read x1 of slots 4k..4k+3 as the box): its 0.69-score det
+        # "flipped" and the old flat miss<=2 budget waved it through.
+        n_c_only = len(c["detections"]) - (len(want_dets) - len(unmatched))
+        miss = max(len(unmatched), n_c_only)
+        confident = [w for w in unmatched
+                     if w["score"] > args.det_thres + 0.05]
+        if confident or miss > 2:
+            print(f"  FAIL detections: {len(unmatched)} python-only "
+                  f"({len(confident)} confident), C-only {n_c_only}")
             for w in unmatched[:5]:
                 print(f"    py-only {w}")
             ok = False
         elif miss:
-            print(f"  note: {miss} boundary det flip(s) within tolerance budget")
+            print(f"  note: {miss} boundary det flip(s) within tolerance "
+                  "budget (all near det_thres)")
 
         # --- lanes: per-lane score + pointwise x tolerance. Pair lanes by
         # GEOMETRY (min mean |dx| over the shared point range), not by score

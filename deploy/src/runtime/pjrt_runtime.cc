@@ -625,6 +625,65 @@ bool PjrtRuntime::WaitResults(std::vector<HostBuffer>* outputs,
       events[i] = args.event;
     }
   }
+  // Which outputs arrive PHYSICALLY TRANSPOSED? ToHostBuffer delivers the
+  // literal in the buffer's on-device DIM ORDER (the transport de-tiles but
+  // does not de-permute), this plugin rejects an explicit host_layout and
+  // its compiler ignores the compile options' result_layout (all three
+  // verified on hardware), so ask each buffer for its minor_to_major and
+  // undo any non-row-major permutation host-side after the copy lands.
+  // Observed: XLA gives the [B, 100, 4] det boxes output m2m = [1, 2, 0]
+  // (coordinate-major); the raw copy then scrambled every det struct (x1
+  // of slot k read x1 of slots 4k..4k+3) while every other output was
+  // row-major — caught by the trained-weights golden struct compare.
+  std::vector<std::vector<int64_t>> permuted(num_outputs_);
+  if (api_->PJRT_Buffer_GetMemoryLayout != nullptr) {
+    for (int i = 0; i < num_outputs_; ++i) {
+      PJRT_Buffer_GetMemoryLayout_Args largs;
+      std::memset(&largs, 0, sizeof(largs));
+      largs.struct_size = PJRT_Buffer_GetMemoryLayout_Args_STRUCT_SIZE;
+      largs.buffer = out_bufs[i];
+      PJRT_Error* lerr = api_->PJRT_Buffer_GetMemoryLayout(&largs);
+      if (lerr != nullptr) {
+        PJRT_Error_Destroy_Args dargs;
+        std::memset(&dargs, 0, sizeof(dargs));
+        dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+        dargs.error = lerr;
+        api_->PJRT_Error_Destroy(&dargs);
+        continue;
+      }
+      const HostBuffer& hb = (*outputs)[i];
+      if (std::getenv("HN_DEPLOY_VERBOSE") != nullptr) {
+        fprintf(stderr, "[hydranet] output %d layout: type=%d", i,
+                (int)largs.layout.type);
+        if (largs.layout.type == PJRT_Buffer_MemoryLayout_Type_Tiled) {
+          fprintf(stderr, " m2m=[");
+          for (size_t d = 0; d < largs.layout.tiled.minor_to_major_size; ++d)
+            fprintf(stderr, "%lld,",
+                    (long long)largs.layout.tiled.minor_to_major[d]);
+          fprintf(stderr, "] tiles=%zu", largs.layout.tiled.num_tiles);
+        }
+        fprintf(stderr, " dims=[");
+        for (size_t d = 0; d < hb.dims.size(); ++d)
+          fprintf(stderr, "%lld,", (long long)hb.dims[d]);
+        fprintf(stderr, "]\n");
+      }
+      if (largs.layout.type != PJRT_Buffer_MemoryLayout_Type_Tiled) continue;
+      const PJRT_Buffer_MemoryLayout_Tiled& t = largs.layout.tiled;
+      // num_tiles is routinely 1-2 here and the data still arrives
+      // de-tiled (scores/classes/valid match the Python pipeline exactly);
+      // only the dim PERMUTATION survives into the host copy
+      if (t.minor_to_major_size != hb.dims.size()) continue;
+      bool row_major = true;
+      for (size_t d = 0; d < t.minor_to_major_size; ++d) {
+        if (t.minor_to_major[d] != (int64_t)(hb.dims.size() - 1 - d))
+          row_major = false;
+      }
+      if (!row_major) {
+        permuted[i].assign(t.minor_to_major,
+                           t.minor_to_major + t.minor_to_major_size);
+      }
+    }
+  }
   bool ok = true;
   for (int i = 0; i < num_outputs_; ++i) {
     if (events[i] != nullptr && !AwaitEvent(api_, events[i], error)) {
@@ -635,6 +694,34 @@ bool PjrtRuntime::WaitResults(std::vector<HostBuffer>* outputs,
     args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
     args.buffer = out_bufs[i];
     api_->PJRT_Buffer_Destroy(&args);
+  }
+  if (!ok) return false;
+  for (int i = 0; i < num_outputs_; ++i) {
+    if (permuted[i].empty()) continue;
+    HostBuffer& hb = (*outputs)[i];
+    const std::vector<int64_t>& m2m = permuted[i];
+    const size_t rank = hb.dims.size();
+    // physical element stride of each LOGICAL dim under minor_to_major
+    std::vector<size_t> pstride(rank);
+    size_t s = 1;
+    for (size_t k = 0; k < rank; ++k) {
+      pstride[(size_t)m2m[k]] = s;
+      s *= (size_t)hb.dims[(size_t)m2m[k]];
+    }
+    std::vector<uint8_t> dst(hb.data.size());
+    std::vector<size_t> idx(rank, 0);
+    const size_t es = hb.element_size;
+    const size_t n = (size_t)hb.num_elements();
+    for (size_t e = 0; e < n; ++e) {  // e iterates logical row-major order
+      size_t off = 0;
+      for (size_t d = 0; d < rank; ++d) off += idx[d] * pstride[d];
+      std::memcpy(dst.data() + e * es, hb.data.data() + off * es, es);
+      for (size_t d = rank; d-- > 0;) {  // increment logical index
+        if (++idx[d] < (size_t)hb.dims[d]) break;
+        idx[d] = 0;
+      }
+    }
+    hb.data.swap(dst);
   }
   return ok;
 }

@@ -381,8 +381,6 @@ class InferencePipeline:
         exported = jax_export.export(jax.jit(frozen))(spec)
         with open(os.path.join(out_dir, "module.mlir"), "wb") as f:
             f.write(exported.mlir_module_serialized)
-        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
-            f.write(xla_client.CompileOptions().SerializeAsString())
 
         flat_paths = []
         paths = jax.tree_util.tree_flatten_with_path(
@@ -392,6 +390,30 @@ class InferencePipeline:
                             for p in path)
             flat_paths.append(dict(name=name, shape=list(leaf.shape),
                                    dtype=str(leaf.dtype)))
+
+        # Pin every RESULT to a dense row-major device layout. Left to its
+        # own layout assignment, XLA picks a transposed physical layout for
+        # outputs whose minor dim is small (observed: the [B, 100, 4] det
+        # boxes buffer landed coordinate-major), and this harness's PJRT
+        # plugin ignores ToHostBuffer's host_layout — so the C runtime's
+        # raw copy scrambled the det structs. Row-major results cost one
+        # 400-element device-side transpose and make the raw copy exact.
+        import numpy as np
+
+        co = xla_client.CompileOptions()
+        co.executable_build_options.result_layout = (
+            xla_client.Shape.tuple_shape([
+                xla_client.Shape.array_shape(
+                    np.dtype(p["dtype"]), p["shape"],
+                    list(reversed(range(len(p["shape"])))))
+                for p in flat_paths]))
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(co.SerializeAsString())
+        # a previously compiled executable in this dir was built with the
+        # OLD options — stale layouts must not be served from cache
+        cache = os.path.join(out_dir, "executable.cache")
+        if os.path.exists(cache):
+            os.remove(cache)
         meta = dict(
             input=dict(shape=list(spec.shape), dtype="uint8",
                        layout="NHWC RGB"),
